@@ -1,0 +1,194 @@
+"""FRI low-degree proofs (4x folding, 40 queries/round, direct check <= 16).
+
+TPU-native re-expression of the reference's recursive FRI
+(`/root/reference/packages/fri/src/fri.rs`): the host drives the shrinking
+round loop (XLA needs static shapes, so each round is its own compiled
+kernel size), while all O(domain) math per round -- quartic row
+interpolation, column evaluation, leaf hashing -- runs batched on device.
+The Fiat-Shamir path (roots -> special_x, roots -> query indices) is
+byte-exact with the reference.
+
+Proof layout mirrors `FriProof` (`fri.rs:17-26`): a list of Middle rounds
+{root2, column_branches, poly_branches} terminated by one Last {last}.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from stark_tpu.fields.field import FieldSpec
+from stark_tpu.merkle import tree as mt
+from stark_tpu.ops import modmath as mm
+from stark_tpu.ops import quartic
+from stark_tpu.protocol import transcript as ts
+from stark_tpu.utils import poly_host as ph
+
+MIN_DEG_DIRECT_CHECKING = 16  # fri.rs:14
+QUERIES_PER_ROUND = 40  # fri.rs:184
+
+
+@dataclass
+class FriLast:
+    last: list[bytes]  # 32-byte LE field elements (all values of the domain)
+
+
+@dataclass
+class FriMiddle:
+    root2: bytes
+    column_branches: list[mt.MerkleProof]
+    poly_branches: list[mt.MerkleProof]
+
+
+def _canonical_bytes(spec: FieldSpec, values_mont) -> np.ndarray:
+    return mm.limbs_to_bytes_le_np(np.asarray(mm.from_mont(spec, values_mont)), spec)
+
+
+def _fold_xsets(arr, quarter: int):
+    """(L, N) -> (L, quarter, 4) with [:, i, j] = arr[:, i + quarter*j]."""
+    L = arr.shape[0]
+    return jnp.moveaxis(arr.reshape(L, 4, quarter), 1, 2)
+
+
+def prove_low_degree(
+    spec: FieldSpec,
+    values_mont,
+    xs_full,
+    max_deg_plus_1: int,
+    exclude_multiples_of: int = 0,
+    deg_direct_checking: int = MIN_DEG_DIRECT_CHECKING,
+):
+    """Prove the (L, N) Montgomery evaluations have degree < max_deg_plus_1.
+
+    xs_full: (L, N) Montgomery power table of the domain root (the full `xs`
+    of this level; recursion strides it by 4 per round, replacing the
+    reference's per-round `expand_root_of_unity`, `fri.rs:84`).
+    Follows `prove_low_degree_rec` (`fri.rs:64-224`).
+    """
+    assert deg_direct_checking >= MIN_DEG_DIRECT_CHECKING
+    proof: list[FriMiddle | FriLast] = []
+    values = values_mont
+    xs = xs_full
+    while True:
+        n = values.shape[1]
+        if max_deg_plus_1 <= deg_direct_checking:
+            # base case (fri.rs:88-112): emit all values; the degree bound is
+            # the verifier's job (the reference only debug-asserts it here)
+            leaves = _canonical_bytes(spec, values)
+            proof.append(FriLast([leaves[i].tobytes() for i in range(n)]))
+            return proof
+
+        leaves = _canonical_bytes(spec, values)
+        m_tree = mt.commit_np(leaves)
+        special_x = spec.from_bytes_le(m_tree.root)  # fri.rs:135
+        sx = mm.mont_consts(spec, [special_x])[:, :, None]  # (L, 1, 1)
+
+        quarter = n // 4
+        xsets = _fold_xsets(xs, quarter)
+        ysets = _fold_xsets(values, quarter)
+        polys = quartic.multi_interp_4(spec, xsets, ysets)
+        column = quartic.eval_quartic_batch(
+            spec, polys, jnp.broadcast_to(sx[:, :, 0], (sx.shape[0], quarter))
+        )
+
+        col_leaves = _canonical_bytes(spec, column)
+        m2_tree = mt.commit_np(col_leaves)
+        ys = ts.get_pseudorandom_indices(
+            m2_tree.root, quarter, QUERIES_PER_ROUND, exclude_multiples_of
+        )
+        column_branches = m2_tree.gen_proofs(ys)
+        poly_positions = [y + quarter * j for y in ys for j in range(4)]
+        poly_branches = m_tree.gen_proofs(poly_positions)
+        proof.append(FriMiddle(m2_tree.root, column_branches, poly_branches))
+
+        values = column
+        xs = xs[:, ::4]
+        max_deg_plus_1 //= 4
+
+
+def verify_low_degree_proof(
+    spec: FieldSpec,
+    merkle_root: bytes,
+    root_of_unity: int,
+    proof,
+    max_deg_plus_1: int,
+    exclude_multiples_of: int = 0,
+) -> bool:
+    """Host-side FRI verification (`fri.rs:226-404`); raises on failure."""
+    p = spec.p
+    # infer domain order by repeated squaring (fri.rs:253-258)
+    rou_deg = 1
+    test_val = root_of_unity
+    while test_val != 1:
+        rou_deg *= 2
+        test_val = test_val * test_val % p
+
+    quartic_roots = [
+        1,
+        pow(root_of_unity, rou_deg // 4, p),
+        pow(root_of_unity, rou_deg // 2, p),
+        pow(root_of_unity, rou_deg * 3 // 4, p),
+    ]
+
+    for prf in proof[:-1]:
+        if not isinstance(prf, FriMiddle):
+            raise ValueError("FRI proofs must be Middle except the last element")
+        special_x = spec.from_bytes_le(merkle_root)
+        ys = ts.get_pseudorandom_indices(
+            prf.root2, rou_deg // 4, QUERIES_PER_ROUND, exclude_multiples_of
+        )
+        poly_positions = [j * (rou_deg // 4) + y for y in ys for j in range(4)]
+
+        column_values = mt.verify_multi_branch(prf.root2, ys, prf.column_branches)
+        poly_values = mt.verify_multi_branch(
+            merkle_root, poly_positions, prf.poly_branches
+        )
+
+        for i, y in enumerate(ys):
+            x1 = pow(root_of_unity, y, p)
+            xs4 = [q * x1 % p for q in quartic_roots]
+            row = [spec.from_bytes_le(poly_values[i * 4 + j]) for j in range(4)]
+            col = spec.from_bytes_le(column_values[i])
+            poly = ph.lagrange_interp(spec, xs4, row)
+            if ph.eval_quartic(spec, poly, special_x) != col:
+                raise ValueError("FRI row/column mismatch")
+
+        merkle_root = prf.root2
+        root_of_unity = pow(root_of_unity, 4, p)
+        max_deg_plus_1 //= 4
+        rou_deg //= 4
+        quartic_roots = [
+            1,
+            pow(root_of_unity, rou_deg // 4, p),
+            pow(root_of_unity, rou_deg // 2, p),
+            pow(root_of_unity, rou_deg * 3 // 4, p),
+        ]
+
+    if max_deg_plus_1 < MIN_DEG_DIRECT_CHECKING // 2:
+        raise ValueError("the degree of direct checking is too low")
+    last = proof[-1]
+    if not isinstance(last, FriLast):
+        raise ValueError("the last element of FRI proofs must be Last")
+    data = last.last
+    if len(data) <= max_deg_plus_1:
+        raise ValueError("last data too short")
+
+    decoded = [spec.from_bytes_le(v) for v in data]
+    # Merkle root of the raw last data must match (fri.rs:373-381)
+    if mt.commit(list(data)).root != merkle_root:
+        raise ValueError("FRI last-round root mismatch")
+
+    # direct low-degree check (fri.rs:384-400)
+    xs = [pow(root_of_unity, i, p) for i in range(len(data))]
+    if exclude_multiples_of:
+        pts = [i for i in range(len(data)) if i % exclude_multiples_of != 0]
+    else:
+        pts = list(range(len(data)))
+    head, rest = pts[:max_deg_plus_1], pts[max_deg_plus_1:]
+    poly = ph.lagrange_interp(spec, [xs[i] for i in head], [decoded[i] for i in head])
+    for pos in rest:
+        if ph.eval_poly_at(spec, poly, xs[pos]) != decoded[pos]:
+            raise ValueError("FRI direct check failed")
+    return True

@@ -1,0 +1,281 @@
+"""The R1CS STARK prover, re-expressed as batched device kernels.
+
+Pipeline parity with `mk_r1cs_proof` (`/root/reference/packages/r1cs-stark/
+src/prove.rs:14-378`), with a TPU-first structure:
+
+* all 9 trace columns are low-degree-extended on device (iNTT@g1, NTT@g2);
+* constraint/quotient/boundary evaluations are fused element-wise kernels
+  over the whole extension domain;
+* Z(x) = x^steps - 1 and x^steps are PERIODIC with period EXTENSION_FACTOR
+  on the evaluation domain, so their (inverse) values are 8 host scalars
+  tiled on device -- no O(precision) vanishing-poly FFT or host power table
+  (`prove.rs:84,128-129,287-291` materialize all of these);
+* the permutation accumulator A is a batched prefix-product scan + one
+  batched inversion instead of the reference's sequential loop
+  (`utils.rs:293-339`);
+* Merkle leaves are byte-packed exactly as the reference (256-byte m-tree
+  leaves `prove.rs:235-258`, 40-byte a-tree leaves `utils.rs:250-270`) and
+  hashed layer-at-a-time on device.
+
+The Fiat-Shamir transcript (roots -> k coefficients/r values/positions) is
+byte-exact with the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from stark_tpu.fields.field import FieldSpec
+from stark_tpu.fri import fri
+from stark_tpu.merkle import tree as mt
+from stark_tpu.ops import modmath as mm
+from stark_tpu.ops import ntt as nttm
+from stark_tpu.protocol import transcript as ts
+from stark_tpu.protocol.params import (
+    SPOT_CHECK_SECURITY_FACTOR,
+    DomainParams,
+    derive_params,
+)
+from stark_tpu.protocol.proof import StarkProof
+from stark_tpu.r1cs.arithmetize import Arithmetization
+from stark_tpu.utils import poly_host as ph
+
+
+def _lde_column(spec, values_ints, w1_inv, w2, precision):
+    vm = mm.to_mont(spec, mm.ints_to_limbs_np(values_ints, spec))
+    return nttm.lde(spec, vm, w1_inv, w2, precision)
+
+
+def _tile_periodic(spec: FieldSpec, scalars: list[int], precision: int):
+    """Host scalars v_0..v_{k-1} -> (L, precision) Montgomery with
+    out[j] = v_{j mod k}."""
+    k = len(scalars)
+    base = mm.mont_consts(spec, scalars)  # (L, k)
+    return jnp.tile(base, (1, precision // k))
+
+
+def _canon_bytes(spec, mont_arr) -> np.ndarray:
+    return mm.limbs_to_bytes_le_np(np.asarray(mm.from_mont(spec, mont_arr)), spec)
+
+
+def _check_zero_at_stride(spec, q_evals, skips, what):
+    """Reference divisibility asserts (`utils.rs:379-418`): Q must vanish
+    wherever Z does (every skips-th position)."""
+    sub = np.asarray(q_evals[:, ::skips])
+    if sub.any():
+        raise AssertionError(f"invalid {what}: quotient not divisible by Z")
+
+
+def augmented_positions(positions, params: DomainParams):
+    """The 4 companion indices per spot check (`prove.rs:351-359`)."""
+    out = []
+    k = params.original_steps // 3 * params.skips
+    for j in positions:
+        out.extend(
+            [
+                j,
+                (j + params.precision - params.skips) % params.precision,
+                (j + k) % params.precision,
+                (j + 2 * k) % params.precision,
+            ]
+        )
+    return out
+
+
+def mk_r1cs_proof(
+    spec: FieldSpec,
+    arith: Arithmetization,
+    public_wires: list[int],
+    n_constraints: int,
+    n_wires: int,
+) -> StarkProof:
+    p = spec.p
+    original_steps = arith.original_steps
+    assert original_steps <= 3 * n_constraints * n_wires
+    params = derive_params(spec, original_steps)
+    steps, precision, skips = params.steps, params.precision, params.skips
+
+    # --- pad traces to the power-of-two domain (prove.rs:55-68) ---
+    permuted = list(arith.permuted_indices) + list(range(original_steps, steps))
+    pad = steps - original_steps
+    coeffs = arith.coefficients + [0] * pad
+    s_trace = arith.witness_trace + [0] * pad
+    p_trace = arith.computational_trace + [0] * pad
+    f0 = arith.flag0 + [0] * pad
+    f1 = arith.flag1 + [0] * pad
+    f2 = arith.flag2 + [0] * pad
+
+    # --- domain tables ---
+    xs_full = mm.power_table(spec, params.g2, precision)  # (L, precision)
+    w2 = xs_full[:, : precision // 2]
+    w1_inv = nttm.inverse_table(spec, params.g1, steps)
+
+    # --- 8 LDE columns (prove.rs:100-169) ---
+    k_ev = _lde_column(spec, coeffs, w1_inv, w2, precision)
+    f0_ev = _lde_column(spec, f0, w1_inv, w2, precision)
+    f1_ev = _lde_column(spec, f1, w1_inv, w2, precision)
+    f2_ev = _lde_column(spec, f2, w1_inv, w2, precision)
+    s_ev = _lde_column(spec, s_trace, w1_inv, w2, precision)
+    p_ev = _lde_column(spec, p_trace, w1_inv, w2, precision)
+    idx_ev = _lde_column(spec, list(range(steps)), w1_inv, w2, precision)
+    perm_ev = _lde_column(spec, permuted, w1_inv, w2, precision)
+
+    # --- accumulator commitment + randomness (utils.rs:250-290) ---
+    s_bytes = _canon_bytes(spec, mm.to_mont(spec, mm.ints_to_limbs_np(s_trace, spec)))
+    a_leaves = np.concatenate(
+        [
+            np.asarray(
+                [np.frombuffer(int(v).to_bytes(8, "little"), dtype=np.uint8) for v in permuted]
+            ),
+            s_bytes,
+        ],
+        axis=1,
+    )  # (steps, 40): perm_idx (8B LE usize) || S value (32B LE)
+    a_root = mt.commit_np(a_leaves).root
+    r = ts.get_random_ff_values(spec, a_root, precision, 3, 0)
+
+    # --- permutation accumulator A (utils.rs:293-339), batched scans ---
+    r0 = jnp.broadcast_to(mm.mont_const(spec, r[0]), (spec.num_limbs, steps))
+    r1m = mm.mont_const(spec, r[1])
+    r2m = mm.mont_const(spec, r[2])
+    s_small = mm.to_mont(spec, mm.ints_to_limbs_np(s_trace, spec))
+    idx_small = mm.to_mont(spec, mm.ints_to_limbs_np(list(range(steps)), spec))
+    perm_small = mm.to_mont(spec, mm.ints_to_limbs_np(permuted, spec))
+    r2s = mm.mmul(spec, jnp.broadcast_to(r2m, s_small.shape), s_small)
+    val_nmr = mm.madd(
+        spec, r0, mm.madd(spec, mm.mmul(spec, jnp.broadcast_to(r1m, idx_small.shape), idx_small), r2s)
+    )
+    val_dnm = mm.madd(
+        spec, r0, mm.madd(spec, mm.mmul(spec, jnp.broadcast_to(r1m, perm_small.shape), perm_small), r2s)
+    )
+    acc_nmr = mm.prefix_prod(spec, val_nmr)
+    acc_dnm = mm.prefix_prod(spec, val_dnm)
+    a_mini = mm.mmul(spec, acc_nmr, mm.multi_inv(spec, acc_dnm))
+    a_ev = nttm.lde(spec, a_mini, w1_inv, w2, precision)
+
+    # --- quotients Q1/Q2/Q3 (utils.rs:181-248,344-376) ---
+    p_prev = jnp.roll(p_ev, skips, axis=1)
+    q1 = mm.mmul(
+        spec,
+        f0_ev,
+        mm.msub(
+            spec,
+            p_ev,
+            mm.madd(spec, mm.mmul(spec, f1_ev, p_prev), mm.mmul(spec, k_ev, s_ev)),
+        ),
+    )
+    kshift = original_steps // 3 * skips
+    p_plus_w = jnp.roll(p_ev, -kshift, axis=1)
+    p_plus_2w = jnp.roll(p_ev, -2 * kshift, axis=1)
+    q2 = mm.mmul(spec, f2_ev, mm.msub(spec, p_plus_2w, mm.mmul(spec, p_ev, p_plus_w)))
+
+    vn_big = mm.madd(
+        spec,
+        jnp.broadcast_to(mm.mont_const(spec, r[0]), idx_ev.shape),
+        mm.madd(
+            spec,
+            mm.mmul(spec, jnp.broadcast_to(r1m, idx_ev.shape), idx_ev),
+            mm.mmul(spec, jnp.broadcast_to(r2m, s_ev.shape), s_ev),
+        ),
+    )
+    vd_big = mm.madd(
+        spec,
+        jnp.broadcast_to(mm.mont_const(spec, r[0]), perm_ev.shape),
+        mm.madd(
+            spec,
+            mm.mmul(spec, jnp.broadcast_to(r1m, perm_ev.shape), perm_ev),
+            mm.mmul(spec, jnp.broadcast_to(r2m, s_ev.shape), s_ev),
+        ),
+    )
+    a_prev = jnp.roll(a_ev, skips, axis=1)
+    q3 = mm.msub(spec, mm.mmul(spec, a_ev, vd_big), mm.mmul(spec, a_prev, vn_big))
+
+    # --- divisibility + quotients D = Q / Z ---
+    # Z(g2^j) = g2^(j*steps) - 1 = omega^(j mod 8) - 1, omega = g2^steps:
+    # periodic with period EXTENSION_FACTOR (the reference FFTs a sparse
+    # poly to get the same values, prove.rs:128-129)
+    omega = pow(params.g2, steps, p)
+    z_scalars = [(pow(omega, t, p) - 1) % p for t in range(skips)]
+    inv_z_scalars = [0] + [pow(z, p - 2, p) for z in z_scalars[1:]]
+    inv_z = _tile_periodic(spec, inv_z_scalars, precision)
+    for q, what in ((q1, "D1"), (q2, "D2"), (q3, "D3")):
+        _check_zero_at_stride(spec, q, skips, what)
+    d1 = mm.mmul(spec, q1, inv_z)
+    d2 = mm.mmul(spec, q2, inv_z)
+    d3 = mm.mmul(spec, q3, inv_z)
+
+    # --- boundary interpolants and quotients (utils.rs:421-524) ---
+    pub_xs = [pow(params.g2, skips * w, p) for (_, w) in arith.public_first_indices]
+    pub_ys = [public_wires[k] for (k, _) in arith.public_first_indices]
+    interpolant2 = ph.lagrange_interp(spec, pub_xs, pub_ys)
+    # evaluate I2 (degree < #pubs) on the whole domain via device Horner
+    i2_ev = jnp.zeros_like(s_ev)
+    for c in reversed(interpolant2):
+        cm = jnp.broadcast_to(mm.mont_const(spec, c), s_ev.shape)
+        i2_ev = mm.madd(spec, mm.mmul(spec, i2_ev, xs_full), cm)
+    # I3 interpolates {(g1^-1, 1)} => the constant poly 1 (utils.rs:458-463)
+    one_big = jnp.broadcast_to(mm.mont_one(spec), s_ev.shape)
+
+    zb2 = one_big
+    for x in pub_xs:
+        zb2 = mm.mmul(
+            spec, zb2, mm.msub(spec, xs_full, jnp.broadcast_to(mm.mont_const(spec, x), xs_full.shape))
+        )
+    x_last = pow(params.g2, precision - skips, p)
+    zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(mm.mont_const(spec, x_last), xs_full.shape))
+    b2 = mm.mmul(spec, mm.msub(spec, s_ev, i2_ev), mm.multi_inv(spec, zb2))
+    b3 = mm.mmul(spec, mm.msub(spec, a_ev, one_big), mm.multi_inv(spec, zb3))
+
+    # --- m-tree: 256-byte leaves P||A||S||D1||D2||D3||B2||B3 (prove.rs:235) ---
+    cols = [p_ev, a_ev, s_ev, d1, d2, d3, b2, b3]
+    col_bytes = [_canon_bytes(spec, cv) for cv in cols]
+    m_leaves = np.concatenate(col_bytes, axis=1)
+    m_tree = mt.commit_np(m_leaves)
+    m_root = m_tree.root
+
+    # --- random linear combination L (prove.rs:274-322) ---
+    k_coeffs = [1] + [
+        ts.seed_to_field(spec, [m_root, bytes([i])]) for i in range(1, 11)
+    ]
+    pow_scalars = [pow(omega, t, p) for t in range(skips)]  # x^steps, period 8
+    x_to_steps = _tile_periodic(spec, pow_scalars, precision)
+    km = [jnp.broadcast_to(mm.mont_const(spec, kc), s_ev.shape) for kc in k_coeffs]
+    terms = [
+        mm.mmul(spec, km[0], d1),
+        mm.mmul(spec, km[1], d2),
+        mm.mmul(spec, km[2], d3),
+        mm.mmul(spec, km[3], p_ev),
+        mm.mmul(spec, km[4], mm.mmul(spec, p_ev, x_to_steps)),
+        mm.mmul(spec, km[5], b2),
+        mm.mmul(spec, km[6], mm.mmul(spec, b2, x_to_steps)),
+        mm.mmul(spec, km[7], b3),
+        mm.mmul(spec, km[8], mm.mmul(spec, b3, x_to_steps)),
+        mm.mmul(spec, km[9], a_ev),
+        mm.mmul(spec, km[10], s_ev),
+    ]
+    l_ev = terms[0]
+    for t in terms[1:]:
+        l_ev = mm.madd(spec, l_ev, t)
+
+    l_tree = mt.commit_np(_canon_bytes(spec, l_ev))
+    l_root = l_tree.root
+
+    # --- spot checks (prove.rs:337-362) ---
+    positions = ts.get_pseudorandom_indices(
+        l_root, precision, SPOT_CHECK_SECURITY_FACTOR, skips
+    )
+    linear_comb_branches = l_tree.gen_proofs(positions)
+    main_branches = m_tree.gen_proofs(augmented_positions(positions, params))
+
+    # --- FRI (prove.rs:367) ---
+    fri_proof = fri.prove_low_degree(spec, l_ev, xs_full, precision // 4, skips)
+
+    return StarkProof(
+        m_root=m_root,
+        l_root=l_root,
+        a_root=a_root,
+        main_branches=main_branches,
+        linear_comb_branches=linear_comb_branches,
+        fri_proof=fri_proof,
+    )

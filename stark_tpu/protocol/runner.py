@@ -1,0 +1,111 @@
+"""Top-level prove/verify entry points over parsed circuits.
+
+Parity with `prove_with_witness` / `verify_with_witness` and the file-path
+wrappers (`/root/reference/packages/r1cs-stark/src/run.rs:310-625`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from stark_tpu.fields.field import BN254_FR, FieldSpec
+from stark_tpu.protocol import proof as proof_mod
+from stark_tpu.protocol.prove import mk_r1cs_proof
+from stark_tpu.protocol.verify import verify_r1cs_proof
+from stark_tpu.r1cs.arithmetize import arithmetize
+from stark_tpu.r1cs.reader import R1csContents, read_r1cs, read_witness
+
+# the reference hard-asserts the circuit field is the BN254/circom scalar
+# field (run.rs:344-350); same limitation here (TargetFF = Fp TODO upstream)
+_BN254_PRIME_LE = bytes(
+    [
+        1, 0, 0, 240, 147, 245, 225, 67, 145, 112, 185, 121, 72, 232, 51, 40,
+        93, 88, 129, 129, 182, 69, 80, 184, 41, 160, 49, 225, 114, 78, 100, 48,
+    ]
+)
+
+
+def _spec_for(r1cs: R1csContents) -> FieldSpec:
+    assert r1cs.header.prime_number == _BN254_PRIME_LE, (
+        "only the BN254/circom scalar field is supported (like the reference)"
+    )
+    return BN254_FR
+
+
+def prove_with_witness(r1cs: R1csContents, witness_bytes: list[bytes]):
+    spec = _spec_for(r1cs)
+    h = r1cs.header
+    witness = [spec.from_bytes_le(w) for w in witness_bytes]
+    assert witness[0] == 1, "witness[0] must be 1"  # run.rs:358
+    n_pub = 1 + h.n_public_inputs + h.n_public_outputs
+    public_wires = witness[:n_pub]
+
+    arith = arithmetize(spec, r1cs.constraints, witness, h.n_wires, len(public_wires))
+    return mk_r1cs_proof(spec, arith, public_wires, h.n_constraints, h.n_wires)
+
+
+def verify_with_witness(r1cs: R1csContents, public_wires_bytes: list[bytes], proof) -> bool:
+    spec = _spec_for(r1cs)
+    h = r1cs.header
+    public_wires = [spec.from_bytes_le(w) for w in public_wires_bytes]
+    assert public_wires[0] == 1
+
+    # verifier-side re-derivation without the witness (run.rs:482-511)
+    arith = arithmetize(spec, r1cs.constraints, None, h.n_wires, len(public_wires))
+    return verify_r1cs_proof(
+        spec,
+        proof,
+        public_wires,
+        arith.public_first_indices,
+        arith.permuted_indices,
+        arith.coefficients,
+        arith.flag0,
+        arith.flag1,
+        arith.flag2,
+        h.n_constraints,
+        h.n_wires,
+    )
+
+
+def _read(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def prove_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
+    r1cs = read_r1cs(_read(r1cs_path))
+    witness = read_witness(_read(witness_path))
+    proof = prove_with_witness(r1cs, witness)
+    with open(proof_json_path, "w") as f:
+        f.write(proof_mod.to_json(proof))
+
+
+def verify_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
+    r1cs = read_r1cs(_read(r1cs_path))
+    witness = read_witness(_read(witness_path))
+    with open(proof_json_path) as f:
+        proof = proof_mod.from_json(f.read())
+    n_pub = 1 + r1cs.header.n_public_inputs + r1cs.header.n_public_outputs
+    public_wires = witness[:n_pub]
+    assert verify_with_witness(r1cs, public_wires, proof)
+
+
+def run_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
+    """prove + serialize + verify, like run.rs:590-625 (including the quirky
+    witness JSON dump to ./tests/sha256_2_test.wtns.json, run.rs:609-611)."""
+    r1cs = read_r1cs(_read(r1cs_path))
+    witness = read_witness(_read(witness_path))
+
+    wtns_json_path = "./tests/sha256_2_test.wtns.json"
+    if os.path.isdir("./tests"):
+        ints = [int.from_bytes(w, "little") for w in witness]
+        with open(wtns_json_path, "w") as f:
+            f.write("[" + ", ".join(str(v) for v in ints) + "]")
+
+    proof = prove_with_witness(r1cs, witness)
+    with open(proof_json_path, "w") as f:
+        f.write(proof_mod.to_json(proof))
+
+    n_pub = 1 + r1cs.header.n_public_inputs + r1cs.header.n_public_outputs
+    public_wires = witness[:n_pub]
+    assert verify_with_witness(r1cs, public_wires, proof)

@@ -1,0 +1,163 @@
+"""The R1CS STARK verifier.
+
+Parity with `verify_r1cs_proof` (`/root/reference/packages/r1cs-stark/src/
+verify.rs:13-258`), with one capability-preserving efficiency change flagged
+by the survey: instead of evaluating the K/F0/F1/F2 coefficient polynomials
+with an O(steps) Horner per spot check (`verify.rs:202-205`), the verifier
+low-degree-extends them once on device and gathers the 80 checked positions
+-- identical values, batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stark_tpu.fields.field import FieldSpec
+from stark_tpu.fri import fri
+from stark_tpu.merkle import tree as mt
+from stark_tpu.ops import modmath as mm
+from stark_tpu.ops import ntt as nttm
+from stark_tpu.protocol import transcript as ts
+from stark_tpu.protocol.params import SPOT_CHECK_SECURITY_FACTOR, derive_params
+from stark_tpu.protocol.proof import StarkProof
+from stark_tpu.protocol.prove import augmented_positions
+from stark_tpu.utils import poly_host as ph
+
+
+def _lde_ints(spec, values, w1_inv, w2, precision):
+    vm = mm.to_mont(spec, mm.ints_to_limbs_np(values, spec))
+    return nttm.lde(spec, vm, w1_inv, w2, precision)
+
+
+def _gather_ints(spec, mont_arr, positions) -> list[int]:
+    sub = np.asarray(mm.from_mont(spec, mont_arr[:, np.asarray(positions)]))
+    return mm.limbs_to_ints_np(sub, spec)
+
+
+def verify_r1cs_proof(
+    spec: FieldSpec,
+    proof: StarkProof,
+    public_wires: list[int],
+    public_first_indices: list[tuple[int, int]],
+    permuted_indices: list[int],
+    coefficients: list[int],
+    flag0: list[int],
+    flag1: list[int],
+    flag2: list[int],
+    n_constraints: int,
+    n_wires: int,
+) -> bool:
+    p = spec.p
+    original_steps = len(coefficients)
+    assert original_steps <= 3 * n_constraints * n_wires
+    params = derive_params(spec, original_steps)
+    steps, precision, skips = params.steps, params.precision, params.skips
+
+    permuted = list(permuted_indices) + list(range(original_steps, steps))
+    pad = steps - original_steps
+    coeffs = list(coefficients) + [0] * pad
+    f0 = list(flag0) + [0] * pad
+    f1 = list(flag1) + [0] * pad
+    f2 = list(flag2) + [0] * pad
+
+    # FRI first (verify.rs:82-85)
+    assert fri.verify_low_degree_proof(
+        spec, proof.l_root, params.g2, proof.fri_proof, precision // 4, skips
+    )
+
+    positions = ts.get_pseudorandom_indices(
+        proof.l_root, precision, SPOT_CHECK_SECURITY_FACTOR, skips
+    )
+    aug = augmented_positions(positions, params)
+
+    main_leaves = mt.verify_multi_branch(proof.m_root, aug, proof.main_branches)
+    l_leaves = mt.verify_multi_branch(
+        proof.l_root, positions, proof.linear_comb_branches
+    )
+
+    # device LDEs of the public columns, gathered at the spot checks
+    xs_full = mm.power_table(spec, params.g2, precision)
+    w2 = xs_full[:, : precision // 2]
+    w1_inv = nttm.inverse_table(spec, params.g1, steps)
+    k_at = _gather_ints(spec, _lde_ints(spec, coeffs, w1_inv, w2, precision), positions)
+    f0_at = _gather_ints(spec, _lde_ints(spec, f0, w1_inv, w2, precision), positions)
+    f1_at = _gather_ints(spec, _lde_ints(spec, f1, w1_inv, w2, precision), positions)
+    f2_at = _gather_ints(spec, _lde_ints(spec, f2, w1_inv, w2, precision), positions)
+    idx_at = _gather_ints(
+        spec, _lde_ints(spec, list(range(steps)), w1_inv, w2, precision), positions
+    )
+    perm_at = _gather_ints(spec, _lde_ints(spec, permuted, w1_inv, w2, precision), positions)
+
+    # boundary interpolants (host; verify.rs:153-157)
+    pub_xs = [pow(params.g2, skips * w, p) for (_, w) in public_first_indices]
+    pub_ys = [public_wires[k] for (k, _) in public_first_indices]
+    interpolant2 = ph.lagrange_interp(spec, pub_xs, pub_ys)
+    x_of_last_step = pow(params.g2, (steps - 1) * skips, p)
+
+    r = ts.get_random_ff_values(spec, proof.a_root, precision, 3, 0)
+    k_coeffs = [1] + [
+        ts.seed_to_field(spec, [proof.m_root, bytes([i])]) for i in range(1, 11)
+    ]
+    omega = pow(params.g2, steps, p)
+
+    for i, pos in enumerate(positions):
+        x = pow(params.g2, pos, p)
+        br = [main_leaves[i * 4 + j] for j in range(4)]
+        chunk = lambda leaf, c: spec.from_bytes_le(leaf[c * 32 : (c + 1) * 32])
+        p_of_x = chunk(br[0], 0)
+        p_of_prev_x = chunk(br[1], 0)
+        p_of_x_plus_w = chunk(br[2], 0)
+        p_of_x_plus_2w = chunk(br[3], 0)
+        a_of_x = chunk(br[0], 1)
+        a_of_prev_x = chunk(br[1], 1)
+        s_of_x = chunk(br[0], 2)
+        d1_of_x = chunk(br[0], 3)
+        d2_of_x = chunk(br[0], 4)
+        d3_of_x = chunk(br[0], 5)
+        b_of_x = chunk(br[0], 6)
+        b3_of_x = chunk(br[0], 7)
+
+        z_value = (pow(omega, pos % skips, p) - 1) % p
+
+        # Q1: transition of the running dot product (verify.rs:207-211)
+        lhs = f0_at[i] * ((p_of_x - f1_at[i] * p_of_prev_x - k_at[i] * s_of_x) % p) % p
+        assert lhs == z_value * d1_of_x % p, f"Q1 check failed at {pos}"
+
+        # Q2: R1CS product A*B=C (verify.rs:213-217)
+        lhs = f2_at[i] * ((p_of_x_plus_2w - p_of_x * p_of_x_plus_w) % p) % p
+        assert lhs == z_value * d2_of_x % p, f"Q2 check failed at {pos}"
+
+        # Q3: permutation accumulator (verify.rs:219-223)
+        val_nmr = (r[0] + r[1] * idx_at[i] + r[2] * s_of_x) % p
+        val_dnm = (r[0] + r[1] * perm_at[i] + r[2] * s_of_x) % p
+        lhs = (a_of_x * val_dnm - a_of_prev_x * val_nmr) % p
+        assert lhs == z_value * d3_of_x % p, f"Q3 check failed at {pos}"
+
+        # boundary checks (verify.rs:226-235)
+        zb2_of_x = 1
+        for (_, w) in public_first_indices:
+            zb2_of_x = zb2_of_x * (x - pow(params.g2, w * skips, p)) % p
+        i2_of_x = ph.eval_poly_at(spec, interpolant2, x)
+        assert (s_of_x - i2_of_x) % p == zb2_of_x * b_of_x % p, f"B2 failed at {pos}"
+        zb3_of_x = (x - x_of_last_step) % p
+        assert (a_of_x - 1) % p == zb3_of_x * b3_of_x % p, f"B3 failed at {pos}"
+
+        # linear combination consistency (verify.rs:238-253)
+        x_to_steps = pow(x, steps, p)
+        l_of_x = spec.from_bytes_le(l_leaves[i])
+        expect = (
+            k_coeffs[0] * d1_of_x
+            + k_coeffs[1] * d2_of_x
+            + k_coeffs[2] * d3_of_x
+            + k_coeffs[3] * p_of_x
+            + k_coeffs[4] * p_of_x * x_to_steps
+            + k_coeffs[5] * b_of_x
+            + k_coeffs[6] * b_of_x * x_to_steps
+            + k_coeffs[7] * b3_of_x
+            + k_coeffs[8] * b3_of_x * x_to_steps
+            + k_coeffs[9] * a_of_x
+            + k_coeffs[10] * s_of_x
+        ) % p
+        assert l_of_x == expect, f"L consistency failed at {pos}"
+
+    return True

@@ -1,0 +1,80 @@
+"""End-to-end prove -> serialize -> deserialize -> verify over the circom
+fixtures (mirrors run.rs:627-679)."""
+
+import os
+
+import pytest
+
+from stark_tpu.protocol import proof as proof_mod
+from stark_tpu.protocol import runner
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _paths(name, tmp_path):
+    return (
+        os.path.join(FIXTURES, f"{name}.r1cs"),
+        os.path.join(FIXTURES, f"{name}.wtns"),
+        str(tmp_path / f"{name}_proof.json"),
+    )
+
+
+def test_run_compute(tmp_path):
+    r1cs, wtns, out = _paths("compute", tmp_path)
+    runner.prove_with_file_path(r1cs, wtns, out)
+    runner.verify_with_file_path(r1cs, wtns, out)
+    # JSON round-trips exactly
+    with open(out) as f:
+        text = f.read()
+    assert proof_mod.to_json(proof_mod.from_json(text)) == text
+
+
+def test_tampered_proof_rejected(tmp_path):
+    r1cs, wtns, out = _paths("compute", tmp_path)
+    runner.prove_with_file_path(r1cs, wtns, out)
+    with open(out) as f:
+        proof = proof_mod.from_json(f.read())
+    # corrupt one m-tree leaf byte
+    leaf = bytearray(proof.main_branches[0].leaf)
+    leaf[0] ^= 1
+    proof.main_branches[0].leaf = bytes(leaf)
+    with open(out, "w") as f:
+        f.write(proof_mod.to_json(proof))
+    with pytest.raises((ValueError, AssertionError)):
+        runner.verify_with_file_path(r1cs, wtns, out)
+
+
+def test_wrong_public_input_rejected(tmp_path):
+    from stark_tpu.r1cs.reader import read_r1cs, read_witness
+
+    r1cs_path, wtns, out = _paths("compute", tmp_path)
+    runner.prove_with_file_path(r1cs_path, wtns, out)
+    with open(r1cs_path, "rb") as f:
+        r1cs = read_r1cs(f.read())
+    with open(wtns, "rb") as f:
+        witness = read_witness(f.read())
+    with open(out) as f:
+        proof = proof_mod.from_json(f.read())
+    n_pub = 1 + r1cs.header.n_public_inputs + r1cs.header.n_public_outputs
+    public = witness[:n_pub]
+    public[1] = bytes([0xAA])  # lie about a public wire
+    with pytest.raises((ValueError, AssertionError)):
+        runner.verify_with_witness(r1cs, public, proof)
+
+
+@pytest.mark.slow
+def test_run_poseidon3(tmp_path):
+    r1cs, wtns, out = _paths("poseidon3_test", tmp_path)
+    runner.run_with_file_path(r1cs, wtns, out)
+
+
+@pytest.mark.slow
+def test_run_bits(tmp_path):
+    r1cs, wtns, out = _paths("bits", tmp_path)
+    runner.run_with_file_path(r1cs, wtns, out)
+
+
+@pytest.mark.slow
+def test_run_pedersen(tmp_path):
+    r1cs, wtns, out = _paths("pedersen_test", tmp_path)
+    runner.run_with_file_path(r1cs, wtns, out)
