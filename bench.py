@@ -1,0 +1,99 @@
+"""Headline benchmark: STARK prover throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+
+Setup: a synthetic squaring-chain circuit sized to steps=2^17 (trace domain
+2^20 after the 8x LDE blowup) -- big enough to saturate the chip, small
+enough to finish in minutes. Measures the steady-state device prover core
+(8 LDEs + permutation accumulator + quotients + boundaries + linear
+combination + both Merkle roots = everything between Fiat-Shamir round
+trips) and reports R1CS constraints/second.
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md) and this image
+has no Rust toolchain, so the baseline is a documented cost model of the
+single-core Rust reference on the same circuit:
+  - Montgomery mul (4xu64, ff_derive, no asm): 65 ns
+  - blake2s 64-byte compression: 300 ns
+  - FFT(n) = n/2*log2(n) muls; 8 iNTT(steps) + 9 NTT(precision)
+    (prove.rs:100-184), ~60*precision pointwise muls (quotients, inverses,
+    linear comb), ~8*precision hash compressions (m/l/a trees incl. 4-block
+    256-byte leaves), FRI ~7*precision muls + ~3*precision compressions.
+This model ignores the reference's allocation churn and O(precision) table
+materialization, so it FAVORS the reference.
+"""
+
+import json
+import os
+import time
+
+import jax
+
+
+def main():
+    t_setup = time.time()
+    from stark_tpu.fields.field import BN254_FR as spec
+    from stark_tpu.protocol.core import build_single_chip_step, make_example_inputs
+    from stark_tpu.protocol.params import derive_params
+    from stark_tpu.r1cs.arithmetize import arithmetize
+    from stark_tpu.r1cs.synth import squaring_chain
+
+    n_constraints = int(os.environ.get("BENCH_CONSTRAINTS", 43690))
+    r1cs, wb = squaring_chain(n_constraints)
+    witness = [spec.from_bytes_le(w) for w in wb]
+    arith = arithmetize(spec, r1cs.constraints, witness, r1cs.header.n_wires, 2)
+    params = derive_params(spec, arith.original_steps)
+    steps, precision = params.steps, params.precision
+
+    fn = build_single_chip_step(spec, steps, precision, arith.original_steps)
+    args = make_example_inputs(spec, arith, witness[:2], params)
+
+    # warmup / compile
+    out = fn(*args)
+    jax.block_until_ready(out)
+    setup_s = time.time() - t_setup
+
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    core_s = (time.time() - t0) / iters
+
+    constraints_per_s = n_constraints / core_s
+
+    # single-core Rust reference cost model (see module docstring)
+    MUL_NS, HASH_NS = 65e-9, 300e-9
+    import math
+
+    fft_muls = 8 * (steps / 2) * math.log2(steps) + 9 * (precision / 2) * math.log2(
+        precision
+    )
+    model_s = (
+        (fft_muls + 60 * precision + 7 * precision) * MUL_NS
+        + 11 * precision * HASH_NS
+    )
+    ref_constraints_per_s = n_constraints / model_s
+
+    print(
+        json.dumps(
+            {
+                "metric": "prover_core_constraints_per_s",
+                "value": round(constraints_per_s, 1),
+                "unit": "constraints/s",
+                "vs_baseline": round(constraints_per_s / ref_constraints_per_s, 2),
+                "detail": {
+                    "backend": jax.default_backend(),
+                    "n_constraints": n_constraints,
+                    "steps": steps,
+                    "precision": precision,
+                    "core_step_s": round(core_s, 4),
+                    "setup_compile_s": round(setup_s, 1),
+                    "modeled_single_core_rust_s": round(model_s, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,9 +52,13 @@ def inverse_table(spec: FieldSpec, root: int, n: int):
 
 @functools.partial(jax.jit, static_argnums=0)
 def _ntt_core(spec: FieldSpec, a, w_half):
-    """In-place radix-2 DIT NTT. a: (L, N) Montgomery; w_half: (L, N/2)."""
+    """In-place radix-2 DIT NTT along axis 1.
+
+    a: (L, N) or (L, N, B) Montgomery (B = independent batch columns);
+    w_half: (L, N/2)."""
     n = a.shape[1]
     logn = n.bit_length() - 1
+    batched = a.ndim == 3
     a = a[:, _bitrev_perm(n)]
     idx = jnp.arange(n, dtype=jnp.uint32)
 
@@ -65,11 +69,17 @@ def _ntt_core(spec: FieldSpec, a, w_half):
         b = a[:, partner]
         exp = (idx & (half - 1)) << (jnp.uint32(logn - 1) - s32)
         tw = w_half[:, exp]
-        operand = jnp.where((idx & half) == 0, b, a)
-        prod = mm.mmul(spec, tw, operand)
+        mask = (idx & half) == 0
+        if batched:
+            tw = tw[:, :, None]
+            mask = mask[None, :, None]
+        else:
+            mask = mask[None, :]
+        operand = jnp.where(mask, b, a)
+        prod = mm.mmul(spec, jnp.broadcast_to(tw, a.shape), operand)
         lo_out = mm.madd(spec, a, prod)
         hi_out = mm.msub(spec, b, prod)
-        return jnp.where((idx & half) == 0, lo_out, hi_out)
+        return jnp.where(mask, lo_out, hi_out)
 
     return jax.lax.fori_loop(0, logn, stage, a)
 

@@ -1,0 +1,135 @@
+"""Fully-jittable single-chip prover core.
+
+One compiled step covering everything between the Fiat-Shamir round trips of
+`mk_r1cs_proof`: 8 LDEs, permutation accumulator, quotients, boundaries,
+linear combination, and both Merkle roots -- given the transcript scalars
+(r, k) as inputs. Used by the driver entry point (`__graft_entry__.entry`)
+and the throughput benchmark; the orchestrated prover in
+:mod:`stark_tpu.protocol.prove` computes identical values stage by stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from stark_tpu.fields.field import FieldSpec
+from stark_tpu.ops import blake2s as b2
+from stark_tpu.ops import modmath as mm
+from stark_tpu.ops import ntt as nttm
+from stark_tpu.protocol import kernels
+from stark_tpu.parallel.prove_sharded import _leaves_to_words
+
+
+def merkle_root_local(leaf_words, leaf_bytes: int):
+    """(W, N) leaf words -> (8,) root digest words, all on device."""
+    h = b2.blake2s_words(leaf_words, leaf_bytes)
+    while h.shape[1] > 1:
+        m = h.shape[1] // 2
+        pair = h.reshape(8, m, 2)
+        msg = jnp.concatenate([pair[:, :, 0], pair[:, :, 1]], axis=0)
+        h = b2.blake2s_words(msg, 64)
+    return h[:, 0]
+
+
+def build_single_chip_step(
+    spec: FieldSpec, steps: int, precision: int, original_steps: int
+):
+    """Returns a jitted fn(traces, r_mont, k_mont, i2_mont, pubx_mont) ->
+    (m_root_words, l_root_words, l_evaluations)."""
+    p = spec.p
+    skips = precision // steps
+    kshift = original_steps // 3 * skips
+    g2 = spec.root_of_unity(precision)
+    g1 = pow(g2, skips, p)
+    xs_full = mm.power_table(spec, g2, precision)
+    w2 = xs_full[:, : precision // 2]
+    w1_inv = nttm.inverse_table(spec, g1, steps)
+    omega = pow(g2, steps, p)
+    inv_z_scalars = [0] + [
+        pow((pow(omega, t, p) - 1) % p, p - 2, p) for t in range(1, skips)
+    ]
+    pow_scalars = [pow(omega, t, p) for t in range(skips)]
+    x_last = pow(g2, precision - skips, p)
+    x_last_mont = mm.mont_const(spec, x_last)
+    inv_z_base = mm.mont_consts(spec, inv_z_scalars)
+    x2s_base = mm.mont_consts(spec, pow_scalars)
+
+    @jax.jit
+    def step(traces, r_mont, k_mont, i2_mont, pubx_mont):
+        lde = lambda t: nttm.lde(spec, t, w1_inv, w2, precision)
+        k_ev = lde(traces["k"])
+        f0_ev = lde(traces["f0"])
+        f1_ev = lde(traces["f1"])
+        f2_ev = lde(traces["f2"])
+        s_ev = lde(traces["s"])
+        p_ev = lde(traces["p"])
+        idx_ev = lde(traces["idx"])
+        perm_ev = lde(traces["perm"])
+
+        vn, vd = kernels.rand_combination(
+            spec, r_mont, traces["idx"], traces["perm"], traces["s"]
+        )
+        a_ev = lde(kernels.accumulator_mini(spec, vn, vd))
+
+        q1 = kernels.q1_eval(spec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips)
+        q2 = kernels.q2_eval(spec, p_ev, f2_ev, kshift)
+        vn_big, vd_big = kernels.rand_combination(spec, r_mont, idx_ev, perm_ev, s_ev)
+        q3 = kernels.q3_eval(spec, a_ev, vn_big, vd_big, skips)
+
+        inv_z = jnp.tile(inv_z_base, (1, precision // skips))
+        d1 = mm.mmul(spec, q1, inv_z)
+        d2 = mm.mmul(spec, q2, inv_z)
+        d3 = mm.mmul(spec, q3, inv_z)
+
+        i2_ev = kernels.horner_eval(spec, i2_mont, xs_full)
+        one_big = jnp.broadcast_to(mm.mont_one(spec), s_ev.shape)
+        zb2 = kernels.vanishing_eval(spec, xs_full, pubx_mont)
+        zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape))
+        b2_ev = mm.mmul(spec, mm.msub(spec, s_ev, i2_ev), mm.multi_inv(spec, zb2))
+        b3_ev = mm.mmul(spec, mm.msub(spec, a_ev, one_big), mm.multi_inv(spec, zb3))
+
+        x_to_steps = jnp.tile(x2s_base, (1, precision // skips))
+        l_ev = kernels.linear_combination(
+            spec, k_mont, x_to_steps, p_ev, a_ev, s_ev, d1, d2, d3, b2_ev, b3_ev
+        )
+
+        m_root = merkle_root_local(
+            _leaves_to_words(spec, [p_ev, a_ev, s_ev, d1, d2, d3, b2_ev, b3_ev]), 256
+        )
+        l_root = merkle_root_local(_leaves_to_words(spec, [l_ev]), 32)
+        return m_root, l_root, l_ev
+
+    return step
+
+
+def make_example_inputs(spec: FieldSpec, arith, public_wires, params):
+    """Build the (traces, r, k, i2, pubx) inputs for the core step from an
+    arithmetization (host side)."""
+    from stark_tpu.utils import poly_host as ph
+
+    steps = params.steps
+    pad = steps - arith.original_steps
+    permuted = list(arith.permuted_indices) + list(range(arith.original_steps, steps))
+    tm = lambda ints: mm.to_mont(spec, mm.ints_to_limbs_np(ints, spec))
+    traces = {
+        "k": tm(arith.coefficients + [0] * pad),
+        "f0": tm(arith.flag0 + [0] * pad),
+        "f1": tm(arith.flag1 + [0] * pad),
+        "f2": tm(arith.flag2 + [0] * pad),
+        "s": tm(arith.witness_trace + [0] * pad),
+        "p": tm(arith.computational_trace + [0] * pad),
+        "idx": tm(list(range(steps))),
+        "perm": tm(permuted),
+    }
+    r_mont = mm.mont_consts(spec, [5, 7, 11])  # stand-in transcript scalars
+    k_mont = mm.mont_consts(spec, list(range(1, 12)))
+    pub_xs = [
+        pow(params.g2, params.skips * w, spec.p)
+        for (_, w) in arith.public_first_indices
+    ]
+    pub_ys = [public_wires[k] for (k, _) in arith.public_first_indices]
+    i2 = ph.lagrange_interp(spec, pub_xs, pub_ys)
+    return traces, r_mont, k_mont, mm.mont_consts(spec, i2), mm.mont_consts(spec, pub_xs)

@@ -1,0 +1,115 @@
+"""Pure-device prover kernels shared by the single-chip prover, the
+multi-chip sharded path, and the driver entry points.
+
+These are the fused element-wise stages of `mk_r1cs_proof`
+(`/root/reference/packages/r1cs-stark/src/prove.rs:133-322`) expressed over
+(L, precision) Montgomery limb planes. Everything here is jit-safe (no host
+transcript I/O); the orchestration in :mod:`stark_tpu.protocol.prove`
+interleaves these with the Fiat-Shamir commitments.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from stark_tpu.fields.field import FieldSpec
+from stark_tpu.ops import modmath as mm
+
+
+def rand_combination(spec: FieldSpec, r_mont, idx_ev, perm_ev, s_ev):
+    """val_nmr/val_dnm = r0 + r1*idx + r2*S (utils.rs:317-318,359-360).
+
+    r_mont: (L, 3) Montgomery randomness columns."""
+    shape = s_ev.shape
+    r0 = jnp.broadcast_to(r_mont[:, 0:1], shape)
+    r1 = jnp.broadcast_to(r_mont[:, 1:2], shape)
+    r2 = jnp.broadcast_to(r_mont[:, 2:3], shape)
+    r2s = mm.mmul(spec, r2, s_ev)
+    nmr = mm.madd(spec, r0, mm.madd(spec, mm.mmul(spec, r1, idx_ev), r2s))
+    dnm = mm.madd(spec, r0, mm.madd(spec, mm.mmul(spec, r1, perm_ev), r2s))
+    return nmr, dnm
+
+
+def accumulator_mini(spec: FieldSpec, val_nmr, val_dnm):
+    """A(j) = prod(nmr)/prod(dnm) prefix ratios (utils.rs:293-339), as
+    batched scans + one batched inversion."""
+    acc_nmr = mm.prefix_prod(spec, val_nmr)
+    acc_dnm = mm.prefix_prod(spec, val_dnm)
+    return mm.mmul(spec, acc_nmr, mm.multi_inv(spec, acc_dnm))
+
+
+def q1_eval(spec: FieldSpec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips: int):
+    """Q1 = F0*(P - F1*P_prev - K*S) (utils.rs:181-213)."""
+    p_prev = jnp.roll(p_ev, skips, axis=1)
+    return mm.mmul(
+        spec,
+        f0_ev,
+        mm.msub(
+            spec,
+            p_ev,
+            mm.madd(spec, mm.mmul(spec, f1_ev, p_prev), mm.mmul(spec, k_ev, s_ev)),
+        ),
+    )
+
+
+def q2_eval(spec: FieldSpec, p_ev, f2_ev, kshift: int):
+    """Q2 = F2*(P(+2k) - P*P(+k)), k = original_steps/3*skips
+    (utils.rs:217-248)."""
+    p_plus_w = jnp.roll(p_ev, -kshift, axis=1)
+    p_plus_2w = jnp.roll(p_ev, -2 * kshift, axis=1)
+    return mm.mmul(spec, f2_ev, mm.msub(spec, p_plus_2w, mm.mmul(spec, p_ev, p_plus_w)))
+
+
+def q3_eval(spec: FieldSpec, a_ev, val_nmr_big, val_dnm_big, skips: int):
+    """Q3 = A*val_dnm - A_prev*val_nmr (utils.rs:344-376)."""
+    a_prev = jnp.roll(a_ev, skips, axis=1)
+    return mm.msub(
+        spec, mm.mmul(spec, a_ev, val_dnm_big), mm.mmul(spec, a_prev, val_nmr_big)
+    )
+
+
+def horner_eval(spec: FieldSpec, coeffs_mont, xs_full):
+    """Evaluate a low-degree polynomial (host-interpolated boundary
+    interpolant) on the whole domain. coeffs_mont: (L, deg+1)."""
+    out = jnp.zeros_like(xs_full)
+    for i in range(coeffs_mont.shape[1] - 1, -1, -1):
+        c = jnp.broadcast_to(coeffs_mont[:, i : i + 1], xs_full.shape)
+        out = mm.madd(spec, mm.mmul(spec, out, xs_full), c)
+    return out
+
+
+def vanishing_eval(spec: FieldSpec, xs_full, points_mont):
+    """Zb(x) = prod_i (x - x_i). points_mont: (L, n_points)."""
+    acc = jnp.broadcast_to(mm.mont_one(spec), xs_full.shape)
+    for i in range(points_mont.shape[1]):
+        xi = jnp.broadcast_to(points_mont[:, i : i + 1], xs_full.shape)
+        acc = mm.mmul(spec, acc, mm.msub(spec, xs_full, xi))
+    return acc
+
+
+def linear_combination(
+    spec: FieldSpec, k_mont, x_to_steps, p_ev, a_ev, s_ev, d1, d2, d3, b2, b3
+):
+    """L = k0*D1 + k1*D2 + k2*D3 + k3*P + k4*P*x^steps + k5*B2 + k6*B2*x^steps
+         + k7*B3 + k8*B3*x^steps + k9*A + k10*S  (prove.rs:293-322).
+
+    k_mont: (L, 11) Montgomery Fiat-Shamir coefficients."""
+    shape = s_ev.shape
+    km = [jnp.broadcast_to(k_mont[:, i : i + 1], shape) for i in range(11)]
+    terms = [
+        mm.mmul(spec, km[0], d1),
+        mm.mmul(spec, km[1], d2),
+        mm.mmul(spec, km[2], d3),
+        mm.mmul(spec, km[3], p_ev),
+        mm.mmul(spec, km[4], mm.mmul(spec, p_ev, x_to_steps)),
+        mm.mmul(spec, km[5], b2),
+        mm.mmul(spec, km[6], mm.mmul(spec, b2, x_to_steps)),
+        mm.mmul(spec, km[7], b3),
+        mm.mmul(spec, km[8], mm.mmul(spec, b3, x_to_steps)),
+        mm.mmul(spec, km[9], a_ev),
+        mm.mmul(spec, km[10], s_ev),
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = mm.madd(spec, out, t)
+    return out

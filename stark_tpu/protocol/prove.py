@@ -31,6 +31,7 @@ from stark_tpu.fri import fri
 from stark_tpu.merkle import tree as mt
 from stark_tpu.ops import modmath as mm
 from stark_tpu.ops import ntt as nttm
+from stark_tpu.protocol import kernels
 from stark_tpu.protocol import transcript as ts
 from stark_tpu.protocol.params import (
     SPOT_CHECK_SECURITY_FACTOR,
@@ -136,60 +137,20 @@ def mk_r1cs_proof(
     r = ts.get_random_ff_values(spec, a_root, precision, 3, 0)
 
     # --- permutation accumulator A (utils.rs:293-339), batched scans ---
-    r0 = jnp.broadcast_to(mm.mont_const(spec, r[0]), (spec.num_limbs, steps))
-    r1m = mm.mont_const(spec, r[1])
-    r2m = mm.mont_const(spec, r[2])
+    r_mont = mm.mont_consts(spec, r)  # (L, 3)
     s_small = mm.to_mont(spec, mm.ints_to_limbs_np(s_trace, spec))
     idx_small = mm.to_mont(spec, mm.ints_to_limbs_np(list(range(steps)), spec))
     perm_small = mm.to_mont(spec, mm.ints_to_limbs_np(permuted, spec))
-    r2s = mm.mmul(spec, jnp.broadcast_to(r2m, s_small.shape), s_small)
-    val_nmr = mm.madd(
-        spec, r0, mm.madd(spec, mm.mmul(spec, jnp.broadcast_to(r1m, idx_small.shape), idx_small), r2s)
-    )
-    val_dnm = mm.madd(
-        spec, r0, mm.madd(spec, mm.mmul(spec, jnp.broadcast_to(r1m, perm_small.shape), perm_small), r2s)
-    )
-    acc_nmr = mm.prefix_prod(spec, val_nmr)
-    acc_dnm = mm.prefix_prod(spec, val_dnm)
-    a_mini = mm.mmul(spec, acc_nmr, mm.multi_inv(spec, acc_dnm))
+    val_nmr, val_dnm = kernels.rand_combination(spec, r_mont, idx_small, perm_small, s_small)
+    a_mini = kernels.accumulator_mini(spec, val_nmr, val_dnm)
     a_ev = nttm.lde(spec, a_mini, w1_inv, w2, precision)
 
     # --- quotients Q1/Q2/Q3 (utils.rs:181-248,344-376) ---
-    p_prev = jnp.roll(p_ev, skips, axis=1)
-    q1 = mm.mmul(
-        spec,
-        f0_ev,
-        mm.msub(
-            spec,
-            p_ev,
-            mm.madd(spec, mm.mmul(spec, f1_ev, p_prev), mm.mmul(spec, k_ev, s_ev)),
-        ),
-    )
+    q1 = kernels.q1_eval(spec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips)
     kshift = original_steps // 3 * skips
-    p_plus_w = jnp.roll(p_ev, -kshift, axis=1)
-    p_plus_2w = jnp.roll(p_ev, -2 * kshift, axis=1)
-    q2 = mm.mmul(spec, f2_ev, mm.msub(spec, p_plus_2w, mm.mmul(spec, p_ev, p_plus_w)))
-
-    vn_big = mm.madd(
-        spec,
-        jnp.broadcast_to(mm.mont_const(spec, r[0]), idx_ev.shape),
-        mm.madd(
-            spec,
-            mm.mmul(spec, jnp.broadcast_to(r1m, idx_ev.shape), idx_ev),
-            mm.mmul(spec, jnp.broadcast_to(r2m, s_ev.shape), s_ev),
-        ),
-    )
-    vd_big = mm.madd(
-        spec,
-        jnp.broadcast_to(mm.mont_const(spec, r[0]), perm_ev.shape),
-        mm.madd(
-            spec,
-            mm.mmul(spec, jnp.broadcast_to(r1m, perm_ev.shape), perm_ev),
-            mm.mmul(spec, jnp.broadcast_to(r2m, s_ev.shape), s_ev),
-        ),
-    )
-    a_prev = jnp.roll(a_ev, skips, axis=1)
-    q3 = mm.msub(spec, mm.mmul(spec, a_ev, vd_big), mm.mmul(spec, a_prev, vn_big))
+    q2 = kernels.q2_eval(spec, p_ev, f2_ev, kshift)
+    vn_big, vd_big = kernels.rand_combination(spec, r_mont, idx_ev, perm_ev, s_ev)
+    q3 = kernels.q3_eval(spec, a_ev, vn_big, vd_big, skips)
 
     # --- divisibility + quotients D = Q / Z ---
     # Z(g2^j) = g2^(j*steps) - 1 = omega^(j mod 8) - 1, omega = g2^steps:
@@ -209,19 +170,11 @@ def mk_r1cs_proof(
     pub_xs = [pow(params.g2, skips * w, p) for (_, w) in arith.public_first_indices]
     pub_ys = [public_wires[k] for (k, _) in arith.public_first_indices]
     interpolant2 = ph.lagrange_interp(spec, pub_xs, pub_ys)
-    # evaluate I2 (degree < #pubs) on the whole domain via device Horner
-    i2_ev = jnp.zeros_like(s_ev)
-    for c in reversed(interpolant2):
-        cm = jnp.broadcast_to(mm.mont_const(spec, c), s_ev.shape)
-        i2_ev = mm.madd(spec, mm.mmul(spec, i2_ev, xs_full), cm)
+    i2_ev = kernels.horner_eval(spec, mm.mont_consts(spec, interpolant2), xs_full)
     # I3 interpolates {(g1^-1, 1)} => the constant poly 1 (utils.rs:458-463)
     one_big = jnp.broadcast_to(mm.mont_one(spec), s_ev.shape)
 
-    zb2 = one_big
-    for x in pub_xs:
-        zb2 = mm.mmul(
-            spec, zb2, mm.msub(spec, xs_full, jnp.broadcast_to(mm.mont_const(spec, x), xs_full.shape))
-        )
+    zb2 = kernels.vanishing_eval(spec, xs_full, mm.mont_consts(spec, pub_xs))
     x_last = pow(params.g2, precision - skips, p)
     zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(mm.mont_const(spec, x_last), xs_full.shape))
     b2 = mm.mmul(spec, mm.msub(spec, s_ev, i2_ev), mm.multi_inv(spec, zb2))
@@ -240,23 +193,10 @@ def mk_r1cs_proof(
     ]
     pow_scalars = [pow(omega, t, p) for t in range(skips)]  # x^steps, period 8
     x_to_steps = _tile_periodic(spec, pow_scalars, precision)
-    km = [jnp.broadcast_to(mm.mont_const(spec, kc), s_ev.shape) for kc in k_coeffs]
-    terms = [
-        mm.mmul(spec, km[0], d1),
-        mm.mmul(spec, km[1], d2),
-        mm.mmul(spec, km[2], d3),
-        mm.mmul(spec, km[3], p_ev),
-        mm.mmul(spec, km[4], mm.mmul(spec, p_ev, x_to_steps)),
-        mm.mmul(spec, km[5], b2),
-        mm.mmul(spec, km[6], mm.mmul(spec, b2, x_to_steps)),
-        mm.mmul(spec, km[7], b3),
-        mm.mmul(spec, km[8], mm.mmul(spec, b3, x_to_steps)),
-        mm.mmul(spec, km[9], a_ev),
-        mm.mmul(spec, km[10], s_ev),
-    ]
-    l_ev = terms[0]
-    for t in terms[1:]:
-        l_ev = mm.madd(spec, l_ev, t)
+    l_ev = kernels.linear_combination(
+        spec, mm.mont_consts(spec, k_coeffs), x_to_steps,
+        p_ev, a_ev, s_ev, d1, d2, d3, b2, b3,
+    )
 
     l_tree = mt.commit_np(_canon_bytes(spec, l_ev))
     l_root = l_tree.root

@@ -6,7 +6,6 @@ compile-checks the TPU path (`__graft_entry__.py`) on real hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +14,9 @@ if "--xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402  (after env setup)
 
+# The axon TPU plugin overrides JAX_PLATFORMS at registration, so the env
+# var alone is not enough -- force the CPU backend via config.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_stark"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
