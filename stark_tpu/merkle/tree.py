@@ -38,9 +38,15 @@ class MerkleProof:
 class MerkleTree:
     """Committed tree with all digest layers held on host for proof gen."""
 
-    def __init__(self, leaves_np: np.ndarray, layers: list[np.ndarray]):
+    def __init__(
+        self,
+        leaves_np: np.ndarray,
+        layers: list[np.ndarray],
+        digest: str = "blake2s",
+    ):
         self.leaves = leaves_np  # (N, leaf_bytes) uint8
         self.layers = layers  # each (n_i, 32) uint8
+        self.digest = digest
 
     @property
     def width(self) -> int:
@@ -63,45 +69,81 @@ class MerkleTree:
         return proofs
 
 
-def commit_np(leaves_np: np.ndarray) -> MerkleTree:
-    """Build the tree on device from (N, leaf_bytes) uint8 leaves."""
+def commit_np(leaves_np: np.ndarray, digest: str = "blake2s") -> MerkleTree:
+    """Build the tree on device from (N, leaf_bytes) uint8 leaves.
+
+    `digest` picks the hash, like the reference's `H: Digest` type parameter
+    (`merkle_tree.rs:60-73`): "blake2s" (the production hash) or "poseidon"
+    (leaves must be <=64 bytes, as `poseidon.rs:33` enforces)."""
     n, leaf_bytes = leaves_np.shape
     assert n & (n - 1) == 0, "power-of-two leaf count required"
-    words = jnp.asarray(b2.bytes_to_words_np(leaves_np, leaf_bytes))
-    digests = b2.blake2s_words(words, leaf_bytes)  # (8, N)
-    layers = [b2.digest_words_to_bytes_np(digests)]
-    cur = digests
-    while cur.shape[1] > 1:
-        # pair (2i, 2i+1): message = 16 words (left digest || right digest)
-        m = cur.reshape(8, cur.shape[1] // 2, 2)
-        msg = jnp.concatenate([m[:, :, 0], m[:, :, 1]], axis=0)  # (16, n/2)
-        cur = b2.blake2s_words(msg, 64)
-        layers.append(b2.digest_words_to_bytes_np(cur))
-    return MerkleTree(leaves_np, layers)
+    if digest == "blake2s":
+        words = jnp.asarray(b2.bytes_to_words_np(leaves_np, leaf_bytes))
+        digests = b2.blake2s_words(words, leaf_bytes)  # (8, N)
+        layers = [b2.digest_words_to_bytes_np(digests)]
+        cur = digests
+        while cur.shape[1] > 1:
+            # pair (2i, 2i+1): message = 16 words (left digest || right digest)
+            m = cur.reshape(8, cur.shape[1] // 2, 2)
+            msg = jnp.concatenate([m[:, :, 0], m[:, :, 1]], axis=0)  # (16, n/2)
+            cur = b2.blake2s_words(msg, 64)
+            layers.append(b2.digest_words_to_bytes_np(cur))
+    elif digest == "poseidon":
+        from stark_tpu.fields.field import BLS12_381_FR
+        from stark_tpu.ops import modmath as mm
+        from stark_tpu.ops import poseidon as pos
+
+        layers = [pos.poseidon_hash_leaves_np(leaves_np)]
+        while layers[-1].shape[0] > 1:
+            cur = layers[-1]
+            limbs = mm.bytes_le_to_limbs_np(cur, BLS12_381_FR)  # (L, n_i)
+            left, right = limbs[:, 0::2], limbs[:, 1::2]
+            folded = pos.poseidon_hash_pairs(
+                BLS12_381_FR, jnp.asarray(left), jnp.asarray(right)
+            )
+            layers.append(mm.limbs_to_bytes_le_np(np.asarray(folded), BLS12_381_FR))
+    else:
+        raise ValueError(f"unknown digest {digest!r}")
+    return MerkleTree(leaves_np, layers, digest)
 
 
-def commit(leaves: list[bytes]) -> MerkleTree:
+def commit(leaves: list[bytes], digest: str = "blake2s") -> MerkleTree:
     arr = np.frombuffer(b"".join(leaves), dtype=np.uint8).reshape(
         len(leaves), len(leaves[0])
     )
-    return commit_np(arr)
+    return commit_np(arr, digest)
 
 
-def validate_proof(proof: MerkleProof, root: bytes, index: int) -> bytes:
+def _host_digest(digest: str):
+    if digest == "blake2s":
+        return blake
+    if digest == "poseidon":
+        from stark_tpu.ops.poseidon import poseidon_digest
+
+        return poseidon_digest
+    raise ValueError(f"unknown digest {digest!r}")
+
+
+def validate_proof(
+    proof: MerkleProof, root: bytes, index: int, digest: str = "blake2s"
+) -> bytes:
     """Index-parity sibling walk (`merkle_tree.rs:25-43`); raises on failure."""
-    current = blake(proof.leaf)
+    h = _host_digest(digest)
+    current = h(proof.leaf)
     t = index
     for node in proof.nodes:
         if t % 2 == 0:
-            current = blake(current + node)
+            current = h(current + node)
         else:
-            current = blake(node + current)
+            current = h(node + current)
         t //= 2
     if current != root:
         raise ValueError("merkle proof validation failed")
     return proof.leaf
 
 
-def verify_multi_branch(root: bytes, indices, proofs: list[MerkleProof]) -> list[bytes]:
+def verify_multi_branch(
+    root: bytes, indices, proofs: list[MerkleProof], digest: str = "blake2s"
+) -> list[bytes]:
     # merkle_tree.rs:46-58
-    return [validate_proof(p, root, int(i)) for i, p in zip(indices, proofs)]
+    return [validate_proof(p, root, int(i), digest) for i, p in zip(indices, proofs)]
