@@ -7,22 +7,34 @@ given root of unity, matching the reference exactly (verified against its F7
 known-answer tests).
 
 Design notes (TPU/XLA):
-* The butterfly loop runs as a `lax.fori_loop` over stages with a *uniform*
-  body (constant-geometry formulation): partner indices are `i XOR 2^s` and
-  twiddle exponents `(i & (2^s-1)) << (logN-s-1)`, both computable from the
-  traced stage index, so the compiled graph contains ONE butterfly body
-  instead of logN unrolled stages.
+
+* **No dynamic gathers in the butterflies.** TPU gathers along the lane axis
+  are catastrophically slow (the previous constant-geometry XOR formulation
+  spent ~700 ms per 2^18 transform on them). Instead, each stage views the
+  array as `(L, m, 2, l)` by *reshape only* and combines the two middle-axis
+  halves -- pure elementwise adds/muls with broadcast twiddles:
+
+  - `_dif_core` (decimation in frequency flavor): natural order in,
+    bit-reversed order out; stage twiddles are per-group `w^(rev(j)*l)`,
+    gathered once per stage from the power table with *static* indices
+    (total gathered elements over all stages = n-1).
+  - `_dit_core`: bit-reversed order in, natural order out; stage twiddles
+    are per-position `w^(k*m)` = a static strided slice of the table.
+
+* **The LDE never materializes a bit reversal.** `lde` = DIF-iNTT on the
+  trace (bitrev-ordered coefficients) -> scale by n^{-1} -> *interleaved*
+  zero-pad (because rev_precision(j) = rev_steps(j) * blowup for j < steps,
+  padding bitrev coefficients to the big domain is just inserting blowup-1
+  zeros after every coefficient -- a reshape) -> DIT-NTT on the big domain.
+
 * Twiddles come from a precomputed `(L, N/2)` power table of the root
-  (`power_table`, log-depth doubling on device) -- no O(N) host loop like the
-  reference's `expand_root_of_unity` (`fft.rs:5-14`).
+  (`power_table`, log-depth doubling on device) -- no O(N) host loop like
+  the reference's `expand_root_of_unity` (`fft.rs:5-14`).
 * The iNTT multiplies by n^{-1} like `inv_best_fft` (`fft.rs:284-309`).
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,38 +62,154 @@ def inverse_table(spec: FieldSpec, root: int, n: int):
     return mm.power_table(spec, spec.inv(root), max(n // 2, 1))
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _ntt_core(spec: FieldSpec, a, w_half):
-    """In-place radix-2 DIT NTT along axis 1.
+def _butterfly(spec: FieldSpec, a, tw, m: int, l: int):
+    """One reshape-only stage: a viewed as (L, m, 2, l[, B]); returns the
+    combined array in the same flat layout. tw broadcasts against x1."""
+    L = a.shape[0]
+    batched = a.ndim == 3
+    shape = (L, m, 2, l, a.shape[2]) if batched else (L, m, 2, l)
+    v = a.reshape(shape)
+    x0 = v[:, :, 0]
+    x1 = v[:, :, 1]
+    prod = mm.mmul(spec, jnp.broadcast_to(tw, x1.shape), x1)
+    y0 = mm.madd(spec, x0, prod)
+    y1 = mm.msub(spec, x0, prod)
+    out = jnp.stack([y0, y1], axis=2)
+    return out.reshape(a.shape)
 
-    a: (L, N) or (L, N, B) Montgomery (B = independent batch columns);
-    w_half: (L, N/2)."""
+
+def _dif_core(spec: FieldSpec, a, w_half):
+    """Natural-order input -> bit-reversed-order DFT. a: (L, n) or
+    (L, n, B); w_half: (L, n/2) Montgomery powers of the root."""
     n = a.shape[1]
     logn = n.bit_length() - 1
     batched = a.ndim == 3
-    a = a[:, _bitrev_perm(n)]
-    idx = jnp.arange(n, dtype=jnp.uint32)
-
-    def stage(s, a):
-        s32 = s.astype(jnp.uint32)
-        half = jnp.uint32(1) << s32
-        partner = idx ^ half
-        b = a[:, partner]
-        exp = (idx & (half - 1)) << (jnp.uint32(logn - 1) - s32)
-        tw = w_half[:, exp]
-        mask = (idx & half) == 0
-        if batched:
-            tw = tw[:, :, None]
-            mask = mask[None, :, None]
+    l, m = n // 2, 1
+    for _ in range(logn):
+        # per-group twiddles w^(rev_m(j) * l), j in [m]: static-index gather
+        if m == 1:
+            idx = np.zeros(1, dtype=np.int32)
         else:
-            mask = mask[None, :]
-        operand = jnp.where(mask, b, a)
-        prod = mm.mmul(spec, jnp.broadcast_to(tw, a.shape), operand)
-        lo_out = mm.madd(spec, a, prod)
-        hi_out = mm.msub(spec, b, prod)
-        return jnp.where(mask, lo_out, hi_out)
+            idx = (_bitrev_perm(m).astype(np.int64) * l).astype(np.int32)
+        tw = w_half[:, idx]  # (L, m)
+        tw = tw[:, :, None, None] if batched else tw[:, :, None]
+        a = _butterfly(spec, a, tw, m, l)
+        l //= 2
+        m *= 2
+    return a
 
-    return jax.lax.fori_loop(0, logn, stage, a)
+
+def _dit_core(spec: FieldSpec, a, w_half):
+    """Bit-reversed-order input -> natural-order DFT. Twiddles are static
+    strided slices (no gather at all)."""
+    n = a.shape[1]
+    logn = n.bit_length() - 1
+    batched = a.ndim == 3
+    l, m = 1, n // 2
+    for _ in range(logn):
+        # per-position twiddles w^(k * m), k in [l]: stride-m slice
+        tw = w_half[:, :: m][:, :l] if l > 1 else w_half[:, :1]
+        tw = tw[:, None, :, None] if batched else tw[:, None, :]
+        a = _butterfly(spec, a, tw, m, l)
+        l *= 2
+        m //= 2
+    return a
+
+
+def _ntt_core(spec: FieldSpec, a, w_half):
+    """Natural in -> natural out (compat shim for callers that need DFT
+    order, e.g. the sharded four-step): DIF + one static bitrev gather."""
+    n = a.shape[1]
+    out = _dif_core(spec, a, w_half)
+    return out[:, _bitrev_perm(n)]
+
+
+# ---------------------------------------------------------------------------
+# two-level (Cooley-Tukey n = n1*n2) plans: keeps every butterfly stage on a
+# large trailing batch axis so TPU vector registers stay full. Composition of
+# bit-reversals is exact: rev_n(i*n2 + i2) = rev_n2(i2)*n1 + rev_n1(i), so
+#   DIF(n) = DIF_axis1(n1, root w^n2) -> twiddle w^(rev_n1(i)*j2)
+#            -> DIF_axis2(n2, root w^n1)
+# yields the flat bitrev-ordered DFT with no inter-phase permutation, and the
+# mirrored DIT pipeline consumes bitrev order and emits natural order. The
+# axis-2 transform runs as transpose -> axis-1 core -> transpose (lane-axis
+# mixing is confined to two XLA transposes per transform).
+# ---------------------------------------------------------------------------
+
+_SMALL_NTT = 1 << 9  # direct single-level core below this size
+
+
+def _power_table_batched(spec: FieldSpec, bases, n: int):
+    """bases (L, B) Montgomery -> (L, B, n) with T[:, b, j] = bases_b^j."""
+    L, B = bases.shape
+    table = jnp.broadcast_to(mm.mont_one(spec)[:, :, None], (L, B, 1))
+    cur = bases[:, :, None]
+    while table.shape[2] < n:
+        table = jnp.concatenate(
+            [table, mm.mmul(spec, table, jnp.broadcast_to(cur, table.shape))],
+            axis=2,
+        )
+        cur = mm.mmul(spec, cur, cur)
+    return table
+
+
+class NttPlan:
+    """Device twiddle tables for one (root, n, direction). direction "dif":
+    natural -> bitrev; "dit": bitrev -> natural. Build once, reuse across
+    jitted calls (tables become compile-time constants)."""
+
+    def __init__(self, spec: FieldSpec, root: int, n: int, direction: str):
+        assert direction in ("dif", "dit")
+        assert n & (n - 1) == 0
+        self.n = n
+        self.direction = direction
+        p = spec.p
+        if n <= _SMALL_NTT:
+            self.small = True
+            self.w_half = mm.power_table(spec, root, max(n // 2, 1))
+            return
+        self.small = False
+        logn = n.bit_length() - 1
+        n1 = 1 << ((logn + 1) // 2)
+        n2 = n // n1
+        self.n1, self.n2 = n1, n2
+        # axis-1 transform: order n1 at root w^n2; axis-2: order n2 at w^n1
+        self.w_axis1 = mm.power_table(spec, pow(root, n2, p), n1 // 2)
+        self.w_axis2 = mm.power_table(spec, pow(root, n1, p), n2 // 2)
+        # mid twiddle T[i, j2] = w^(rev_n1(i) * j2): geometric rows
+        base_full = mm.power_table(spec, root, n1)  # (L, n1) powers of w
+        bases = base_full[:, _bitrev_perm(n1)]  # (L, n1): w^rev(i)
+        self.mid_tw = _power_table_batched(spec, bases, n2)  # (L, n1, n2)
+
+
+def _dif_fast(spec: FieldSpec, a, plan: NttPlan):
+    """(L, n) natural -> (L, n) bitrev DFT via the two-level pipeline."""
+    if plan.small:
+        return _dif_core(spec, a, plan.w_half)
+    L = a.shape[0]
+    n1, n2 = plan.n1, plan.n2
+    a3 = a.reshape(L, n1, n2)
+    a3 = _dif_core(spec, a3, plan.w_axis1)  # over axis 1, batched on n2
+    a3 = mm.mmul(spec, a3, plan.mid_tw)
+    a3 = jnp.swapaxes(a3, 1, 2)  # (L, n2, n1)
+    a3 = _dif_core(spec, a3, plan.w_axis2)  # over (former) axis 2
+    a3 = jnp.swapaxes(a3, 1, 2)
+    return a3.reshape(L, plan.n)
+
+
+def _dit_fast(spec: FieldSpec, a, plan: NttPlan):
+    """(L, n) bitrev -> (L, n) natural DFT (mirror of `_dif_fast`)."""
+    if plan.small:
+        return _dit_core(spec, a, plan.w_half)
+    L = a.shape[0]
+    n1, n2 = plan.n1, plan.n2
+    a3 = a.reshape(L, n1, n2)
+    a3 = jnp.swapaxes(a3, 1, 2)  # (L, n2, n1)
+    a3 = _dit_core(spec, a3, plan.w_axis2)  # DFT over j2 (size n2)
+    a3 = jnp.swapaxes(a3, 1, 2)  # (L, n1, n2): rows i, natural k2
+    a3 = mm.mmul(spec, a3, plan.mid_tw)  # w^(rev_n1(i) * k2)
+    a3 = _dit_core(spec, a3, plan.w_axis1)  # DFT over j1 -> natural k1
+    return a3.reshape(L, plan.n)
 
 
 def ntt(spec: FieldSpec, values, w_half):
@@ -114,11 +242,43 @@ def zero_pad(values, n: int):
     return jnp.concatenate([values, jnp.zeros((L, n - m), values.dtype)], axis=1)
 
 
-def lde(spec: FieldSpec, trace, w1_inv_half, w2_half, precision: int):
+class LdePlan:
+    """Twiddle plans for one (g1, g2, steps, precision) LDE shape."""
+
+    def __init__(self, spec: FieldSpec, g1: int, g2: int, steps: int, precision: int):
+        self.steps = steps
+        self.precision = precision
+        self.small_dif = NttPlan(spec, spec.inv(g1), steps, "dif")
+        self.big_dit = NttPlan(spec, g2, precision, "dit")
+        self.n_inv = mm.mont_const(spec, spec.inv(steps))
+
+
+def make_lde_plan(spec: FieldSpec, g1: int, g2: int, steps: int, precision: int):
+    return LdePlan(spec, g1, g2, steps, precision)
+
+
+def lde(spec: FieldSpec, trace, plan: LdePlan):
     """Low-degree extension: interpolate (L, steps) trace on the g1 domain,
     re-evaluate on the g2 domain of size `precision`.
 
     Mirrors the prover's `inv_best_fft(g1)` / `best_fft(g2)` pairs
-    (`prove.rs:100-169`)."""
-    coeffs = intt(spec, trace, w1_inv_half)
-    return ntt(spec, zero_pad(coeffs, precision), w2_half)
+    (`prove.rs:100-169`), fused so no bit-reversal is materialized:
+    bitrev_precision(j) = bitrev_steps(j) * blowup for j < steps, so the
+    bitrev-ordered small coefficients interleave-pad straight into the
+    bitrev-ordered big coefficient vector."""
+    L, steps = trace.shape
+    precision = plan.precision
+    assert steps == plan.steps and precision % steps == 0
+    ratio = precision // steps
+    if steps == 1:
+        coeffs_rev = trace
+    else:
+        coeffs_rev = _dif_fast(spec, trace, plan.small_dif)
+    coeffs_rev = mm.mmul(spec, coeffs_rev, jnp.broadcast_to(plan.n_inv, coeffs_rev.shape))
+    if ratio == 1:
+        padded = coeffs_rev
+    else:
+        padded = jnp.zeros((L, steps, ratio), coeffs_rev.dtype)
+        padded = padded.at[:, :, 0].set(coeffs_rev)
+        padded = padded.reshape(L, precision)
+    return _dit_fast(spec, padded, plan.big_dit)

@@ -45,8 +45,7 @@ def build_single_chip_step(
     g2 = spec.root_of_unity(precision)
     g1 = pow(g2, skips, p)
     xs_full = mm.power_table(spec, g2, precision)
-    w2 = xs_full[:, : precision // 2]
-    w1_inv = nttm.inverse_table(spec, g1, steps)
+    lde_plan = nttm.make_lde_plan(spec, g1, g2, steps, precision)
     omega = pow(g2, steps, p)
     inv_z_scalars = [0] + [
         pow((pow(omega, t, p) - 1) % p, p - 2, p) for t in range(1, skips)
@@ -59,7 +58,7 @@ def build_single_chip_step(
 
     @jax.jit
     def step(traces, r_mont, k_mont, i2_mont, pubx_mont):
-        lde = lambda t: nttm.lde(spec, t, w1_inv, w2, precision)
+        lde = lambda t: nttm.lde(spec, t, lde_plan)
         k_ev = lde(traces["k"])
         f0_ev = lde(traces["f0"])
         f1_ev = lde(traces["f1"])

@@ -41,11 +41,43 @@ from stark_tpu.protocol.params import (
 from stark_tpu.protocol.proof import StarkProof
 from stark_tpu.r1cs.arithmetize import Arithmetization
 from stark_tpu.utils import poly_host as ph
+from stark_tpu.utils.tracing import phase
 
 
-def _lde_column(spec, values_ints, w1_inv, w2, precision):
-    vm = mm.to_mont(spec, mm.ints_to_limbs_np(values_ints, spec))
-    return nttm.lde(spec, vm, w1_inv, w2, precision)
+def _col_mont(spec, col):
+    """Column -> (L, N) Montgomery limbs. Accepts python int lists (the
+    classic path), (N, 32) uint8 canonical LE byte rows (the native
+    arithmetizer's output), or 1-D integer numpy arrays (< 2^64)."""
+    if isinstance(col, np.ndarray):
+        if col.ndim == 2 and col.dtype == np.uint8:
+            return mm.to_mont(spec, jnp.asarray(mm.bytes_le_to_limbs_np(col, spec)))
+        if col.ndim == 1:
+            v = col.astype(np.uint64)
+            limbs = np.zeros((spec.num_limbs, v.shape[0]), dtype=np.uint32)
+            for i in range(4):
+                limbs[i] = ((v >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(
+                    np.uint32
+                )
+            return mm.to_mont(spec, jnp.asarray(limbs))
+        raise TypeError(f"unsupported column array {col.shape}/{col.dtype}")
+    return mm.to_mont(spec, mm.ints_to_limbs_np(col, spec))
+
+
+def _pad_col(col, steps: int):
+    """Zero-pad a column (list or numpy) to `steps` entries."""
+    n = len(col)
+    if isinstance(col, np.ndarray):
+        if n == steps:
+            return col
+        shape = (steps,) + col.shape[1:]
+        out = np.zeros(shape, dtype=col.dtype)
+        out[:n] = col
+        return out
+    return list(col) + [0] * (steps - n)
+
+
+def _lde_column(spec, values, plan):
+    return nttm.lde(spec, _col_mont(spec, values), plan)
 
 
 def _tile_periodic(spec: FieldSpec, scalars: list[int], precision: int):
@@ -98,59 +130,66 @@ def mk_r1cs_proof(
     steps, precision, skips = params.steps, params.precision, params.skips
 
     # --- pad traces to the power-of-two domain (prove.rs:55-68) ---
-    permuted = list(arith.permuted_indices) + list(range(original_steps, steps))
-    pad = steps - original_steps
-    coeffs = arith.coefficients + [0] * pad
-    s_trace = arith.witness_trace + [0] * pad
-    p_trace = arith.computational_trace + [0] * pad
-    f0 = arith.flag0 + [0] * pad
-    f1 = arith.flag1 + [0] * pad
-    f2 = arith.flag2 + [0] * pad
+    if isinstance(arith.permuted_indices, np.ndarray):
+        permuted = np.concatenate(
+            [
+                arith.permuted_indices.astype(np.uint64),
+                np.arange(original_steps, steps, dtype=np.uint64),
+            ]
+        )
+    else:
+        permuted = list(arith.permuted_indices) + list(range(original_steps, steps))
+    coeffs = _pad_col(arith.coefficients, steps)
+    s_trace = _pad_col(arith.witness_trace, steps)
+    p_trace = _pad_col(arith.computational_trace, steps)
+    f0 = _pad_col(arith.flag0, steps)
+    f1 = _pad_col(arith.flag1, steps)
+    f2 = _pad_col(arith.flag2, steps)
 
     # --- domain tables ---
     xs_full = mm.power_table(spec, params.g2, precision)  # (L, precision)
-    w2 = xs_full[:, : precision // 2]
-    w1_inv = nttm.inverse_table(spec, params.g1, steps)
+    plan = nttm.make_lde_plan(spec, params.g1, params.g2, steps, precision)
 
     # --- 8 LDE columns (prove.rs:100-169) ---
-    k_ev = _lde_column(spec, coeffs, w1_inv, w2, precision)
-    f0_ev = _lde_column(spec, f0, w1_inv, w2, precision)
-    f1_ev = _lde_column(spec, f1, w1_inv, w2, precision)
-    f2_ev = _lde_column(spec, f2, w1_inv, w2, precision)
-    s_ev = _lde_column(spec, s_trace, w1_inv, w2, precision)
-    p_ev = _lde_column(spec, p_trace, w1_inv, w2, precision)
-    idx_ev = _lde_column(spec, list(range(steps)), w1_inv, w2, precision)
-    perm_ev = _lde_column(spec, permuted, w1_inv, w2, precision)
+    with phase("lde_columns"):
+        k_ev = _lde_column(spec, coeffs, plan)
+        f0_ev = _lde_column(spec, f0, plan)
+        f1_ev = _lde_column(spec, f1, plan)
+        f2_ev = _lde_column(spec, f2, plan)
+        s_small = _col_mont(spec, s_trace)
+        s_ev = nttm.lde(spec, s_small, plan)
+        p_ev = _lde_column(spec, p_trace, plan)
+        idx_small = _col_mont(spec, np.arange(steps, dtype=np.uint64))
+        idx_ev = nttm.lde(spec, idx_small, plan)
+        perm_small = _col_mont(spec, permuted)
+        perm_ev = nttm.lde(spec, perm_small, plan)
 
     # --- accumulator commitment + randomness (utils.rs:250-290) ---
-    s_bytes = _canon_bytes(spec, mm.to_mont(spec, mm.ints_to_limbs_np(s_trace, spec)))
-    a_leaves = np.concatenate(
-        [
-            np.asarray(
-                [np.frombuffer(int(v).to_bytes(8, "little"), dtype=np.uint8) for v in permuted]
-            ),
-            s_bytes,
-        ],
-        axis=1,
-    )  # (steps, 40): perm_idx (8B LE usize) || S value (32B LE)
-    a_root = mt.commit_np(a_leaves).root
+    with phase("a_tree"):
+        s_bytes = _canon_bytes(spec, s_small)
+        perm_np = np.asarray(permuted, dtype="<u8")
+        a_leaves = np.concatenate(
+            [perm_np.view(np.uint8).reshape(steps, 8), s_bytes], axis=1
+        )  # (steps, 40): perm_idx (8B LE usize) || S value (32B LE)
+        a_root = mt.commit_np(a_leaves).root
     r = ts.get_random_ff_values(spec, a_root, precision, 3, 0)
 
     # --- permutation accumulator A (utils.rs:293-339), batched scans ---
-    r_mont = mm.mont_consts(spec, r)  # (L, 3)
-    s_small = mm.to_mont(spec, mm.ints_to_limbs_np(s_trace, spec))
-    idx_small = mm.to_mont(spec, mm.ints_to_limbs_np(list(range(steps)), spec))
-    perm_small = mm.to_mont(spec, mm.ints_to_limbs_np(permuted, spec))
-    val_nmr, val_dnm = kernels.rand_combination(spec, r_mont, idx_small, perm_small, s_small)
-    a_mini = kernels.accumulator_mini(spec, val_nmr, val_dnm)
-    a_ev = nttm.lde(spec, a_mini, w1_inv, w2, precision)
+    with phase("accumulator"):
+        r_mont = mm.mont_consts(spec, r)  # (L, 3)
+        val_nmr, val_dnm = kernels.rand_combination(
+            spec, r_mont, idx_small, perm_small, s_small
+        )
+        a_mini = kernels.accumulator_mini(spec, val_nmr, val_dnm)
+        a_ev = nttm.lde(spec, a_mini, plan)
 
     # --- quotients Q1/Q2/Q3 (utils.rs:181-248,344-376) ---
-    q1 = kernels.q1_eval(spec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips)
-    kshift = original_steps // 3 * skips
-    q2 = kernels.q2_eval(spec, p_ev, f2_ev, kshift)
-    vn_big, vd_big = kernels.rand_combination(spec, r_mont, idx_ev, perm_ev, s_ev)
-    q3 = kernels.q3_eval(spec, a_ev, vn_big, vd_big, skips)
+    with phase("quotients"):
+        q1 = kernels.q1_eval(spec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips)
+        kshift = original_steps // 3 * skips
+        q2 = kernels.q2_eval(spec, p_ev, f2_ev, kshift)
+        vn_big, vd_big = kernels.rand_combination(spec, r_mont, idx_ev, perm_ev, s_ev)
+        q3 = kernels.q3_eval(spec, a_ev, vn_big, vd_big, skips)
 
     # --- divisibility + quotients D = Q / Z ---
     # Z(g2^j) = g2^(j*steps) - 1 = omega^(j mod 8) - 1, omega = g2^steps:
@@ -181,11 +220,12 @@ def mk_r1cs_proof(
     b3 = mm.mmul(spec, mm.msub(spec, a_ev, one_big), mm.multi_inv(spec, zb3))
 
     # --- m-tree: 256-byte leaves P||A||S||D1||D2||D3||B2||B3 (prove.rs:235) ---
-    cols = [p_ev, a_ev, s_ev, d1, d2, d3, b2, b3]
-    col_bytes = [_canon_bytes(spec, cv) for cv in cols]
-    m_leaves = np.concatenate(col_bytes, axis=1)
-    m_tree = mt.commit_np(m_leaves)
-    m_root = m_tree.root
+    with phase("m_tree"):
+        cols = [p_ev, a_ev, s_ev, d1, d2, d3, b2, b3]
+        col_bytes = [_canon_bytes(spec, cv) for cv in cols]
+        m_leaves = np.concatenate(col_bytes, axis=1)
+        m_tree = mt.commit_np(m_leaves)
+        m_root = m_tree.root
 
     # --- random linear combination L (prove.rs:274-322) ---
     k_coeffs = [1] + [
@@ -198,18 +238,21 @@ def mk_r1cs_proof(
         p_ev, a_ev, s_ev, d1, d2, d3, b2, b3,
     )
 
-    l_tree = mt.commit_np(_canon_bytes(spec, l_ev))
-    l_root = l_tree.root
+    with phase("l_tree"):
+        l_tree = mt.commit_np(_canon_bytes(spec, l_ev))
+        l_root = l_tree.root
 
     # --- spot checks (prove.rs:337-362) ---
     positions = ts.get_pseudorandom_indices(
         l_root, precision, SPOT_CHECK_SECURITY_FACTOR, skips
     )
-    linear_comb_branches = l_tree.gen_proofs(positions)
-    main_branches = m_tree.gen_proofs(augmented_positions(positions, params))
+    with phase("branches"):
+        linear_comb_branches = l_tree.gen_proofs(positions)
+        main_branches = m_tree.gen_proofs(augmented_positions(positions, params))
 
     # --- FRI (prove.rs:367) ---
-    fri_proof = fri.prove_low_degree(spec, l_ev, xs_full, precision // 4, skips)
+    with phase("fri"):
+        fri_proof = fri.prove_low_degree(spec, l_ev, xs_full, precision // 4, skips)
 
     return StarkProof(
         m_root=m_root,

@@ -8,12 +8,20 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
+from stark_tpu import native
 from stark_tpu.fields.field import BN254_FR, FieldSpec
 from stark_tpu.protocol import proof as proof_mod
 from stark_tpu.protocol.prove import mk_r1cs_proof
 from stark_tpu.protocol.verify import verify_r1cs_proof
-from stark_tpu.r1cs.arithmetize import arithmetize
+from stark_tpu.r1cs.arithmetize import Arithmetization, arithmetize
 from stark_tpu.r1cs.reader import R1csContents, read_r1cs, read_witness
+from stark_tpu.utils.tracing import phase
+
+
+def _use_native() -> bool:
+    return os.environ.get("STARK_TPU_NATIVE", "1") != "0" and native.available()
 
 # the reference hard-asserts the circuit field is the BN254/circom scalar
 # field (run.rs:344-350); same limitation here (TargetFF = Fp TODO upstream)
@@ -40,8 +48,50 @@ def prove_with_witness(r1cs: R1csContents, witness_bytes: list[bytes]):
     n_pub = 1 + h.n_public_inputs + h.n_public_outputs
     public_wires = witness[:n_pub]
 
-    arith = arithmetize(spec, r1cs.constraints, witness, h.n_wires, len(public_wires))
+    with phase("arithmetize"):
+        arith = arithmetize(
+            spec, r1cs.constraints, witness, h.n_wires, len(public_wires)
+        )
     return mk_r1cs_proof(spec, arith, public_wires, h.n_constraints, h.n_wires)
+
+
+def _arith_native(spec, flat, witness_np, n_pub) -> Arithmetization:
+    """FlatArithmetization -> the Arithmetization shape the prover consumes,
+    with columns left as numpy arrays (the device path converts them
+    vectorized; no python-int round trip)."""
+    fa = native.arithmetize_flat(
+        flat, witness_np, spec.p.to_bytes(32, "little"), n_pub
+    )
+    n = fa.original_steps
+    return Arithmetization(
+        witness_trace=fa.s,
+        computational_trace=fa.p,
+        coefficients=fa.k,
+        flag0=np.ones(n, dtype=np.uint8),
+        flag1=fa.flag1,
+        flag2=fa.flag2,
+        permuted_indices=fa.permuted_indices,
+        public_first_indices=fa.public_first_indices,
+        last_coeff_list=fa.last_coeff_list,
+    )
+
+
+def prove_with_witness_native(r1cs_bytes: bytes, wtns_bytes: bytes):
+    """File-bytes prove through the C++ parser/arithmetizer fast path."""
+    flat = native.read_r1cs_flat(r1cs_bytes)
+    assert flat.prime_number == _BN254_PRIME_LE
+    spec = BN254_FR
+    with phase("parse+arithmetize"):
+        witness_np = native.read_witness_flat(wtns_bytes)
+        n_pub = 1 + flat.n_public_inputs + flat.n_public_outputs
+        arith = _arith_native(spec, flat, witness_np, n_pub)
+    w0 = int.from_bytes(witness_np[0].tobytes(), "little") % spec.p
+    assert w0 == 1, "witness[0] must be 1"  # run.rs:358
+    public_wires = [
+        int.from_bytes(witness_np[i].tobytes(), "little") % spec.p
+        for i in range(n_pub)
+    ]
+    return mk_r1cs_proof(spec, arith, public_wires, flat.n_constraints, flat.n_wires)
 
 
 def verify_with_witness(r1cs: R1csContents, public_wires_bytes: list[bytes], proof) -> bool:
@@ -73,9 +123,12 @@ def _read(path: str) -> bytes:
 
 
 def prove_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
-    r1cs = read_r1cs(_read(r1cs_path))
-    witness = read_witness(_read(witness_path))
-    proof = prove_with_witness(r1cs, witness)
+    if _use_native():
+        proof = prove_with_witness_native(_read(r1cs_path), _read(witness_path))
+    else:
+        r1cs = read_r1cs(_read(r1cs_path))
+        witness = read_witness(_read(witness_path))
+        proof = prove_with_witness(r1cs, witness)
     with open(proof_json_path, "w") as f:
         f.write(proof_mod.to_json(proof))
 
@@ -102,7 +155,10 @@ def run_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
         with open(wtns_json_path, "w") as f:
             f.write("[" + ", ".join(str(v) for v in ints) + "]")
 
-    proof = prove_with_witness(r1cs, witness)
+    if _use_native():
+        proof = prove_with_witness_native(_read(r1cs_path), _read(witness_path))
+    else:
+        proof = prove_with_witness(r1cs, witness)
     with open(proof_json_path, "w") as f:
         f.write(proof_mod.to_json(proof))
 

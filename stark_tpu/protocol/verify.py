@@ -24,9 +24,9 @@ from stark_tpu.protocol.prove import augmented_positions
 from stark_tpu.utils import poly_host as ph
 
 
-def _lde_ints(spec, values, w1_inv, w2, precision):
+def _lde_ints(spec, values, plan):
     vm = mm.to_mont(spec, mm.ints_to_limbs_np(values, spec))
-    return nttm.lde(spec, vm, w1_inv, w2, precision)
+    return nttm.lde(spec, vm, plan)
 
 
 def _gather_ints(spec, mont_arr, positions) -> list[int]:
@@ -76,17 +76,15 @@ def verify_r1cs_proof(
     )
 
     # device LDEs of the public columns, gathered at the spot checks
-    xs_full = mm.power_table(spec, params.g2, precision)
-    w2 = xs_full[:, : precision // 2]
-    w1_inv = nttm.inverse_table(spec, params.g1, steps)
-    k_at = _gather_ints(spec, _lde_ints(spec, coeffs, w1_inv, w2, precision), positions)
-    f0_at = _gather_ints(spec, _lde_ints(spec, f0, w1_inv, w2, precision), positions)
-    f1_at = _gather_ints(spec, _lde_ints(spec, f1, w1_inv, w2, precision), positions)
-    f2_at = _gather_ints(spec, _lde_ints(spec, f2, w1_inv, w2, precision), positions)
+    plan = nttm.make_lde_plan(spec, params.g1, params.g2, steps, precision)
+    k_at = _gather_ints(spec, _lde_ints(spec, coeffs, plan), positions)
+    f0_at = _gather_ints(spec, _lde_ints(spec, f0, plan), positions)
+    f1_at = _gather_ints(spec, _lde_ints(spec, f1, plan), positions)
+    f2_at = _gather_ints(spec, _lde_ints(spec, f2, plan), positions)
     idx_at = _gather_ints(
-        spec, _lde_ints(spec, list(range(steps)), w1_inv, w2, precision), positions
+        spec, _lde_ints(spec, list(range(steps)), plan), positions
     )
-    perm_at = _gather_ints(spec, _lde_ints(spec, permuted, w1_inv, w2, precision), positions)
+    perm_at = _gather_ints(spec, _lde_ints(spec, permuted, plan), positions)
 
     # boundary interpolants (host; verify.rs:153-157)
     pub_xs = [pow(params.g2, skips * w, p) for (_, w) in public_first_indices]

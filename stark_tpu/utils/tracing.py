@@ -1,0 +1,106 @@
+"""Structured per-phase timing + optional jax.profiler traces.
+
+The reference instruments its hot phases with ad-hoc `Instant`/`println!`
+timers (11 sites, e.g. `/root/reference/packages/fri/src/fft.rs:340-354`,
+`commitment/src/merkle_proof_in_place.rs:115-187`,
+`r1cs-stark/src/run.rs:364-372`). This module is the framework-grade
+replacement: nested named phases collected into a report, opt-in via env:
+
+  STARK_TPU_TRACE=1          print a phase report at the end of each top span
+  STARK_TPU_PROFILE=<dir>    wrap top-level spans in jax.profiler.trace(dir)
+
+Usage::
+
+    from stark_tpu.utils.tracing import phase, report
+    with phase("prove"):
+        with phase("lde"):
+            ...
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class _Node:
+    name: str
+    elapsed: float = 0.0
+    calls: int = 0
+    children: dict = field(default_factory=dict)
+
+
+_root = _Node("root")
+_stack = [_root]
+
+
+def enabled() -> bool:
+    return os.environ.get("STARK_TPU_TRACE", "") not in ("", "0")
+
+
+def _profile_dir() -> str | None:
+    return os.environ.get("STARK_TPU_PROFILE") or None
+
+
+@contextlib.contextmanager
+def phase(name: str, sync=None):
+    """Time a named phase (nested). `sync`: optional value passed to
+    jax.block_until_ready before stopping the clock, so device work is
+    attributed to the phase that launched it."""
+    parent = _stack[-1]
+    node = parent.children.get(name)
+    if node is None:
+        node = parent.children[name] = _Node(name)
+    _stack.append(node)
+    top = parent is _root
+    prof = contextlib.nullcontext()
+    if top and _profile_dir() is not None:
+        import jax
+
+        prof = jax.profiler.trace(_profile_dir())
+    t0 = time.perf_counter()
+    try:
+        with prof:
+            yield node
+    finally:
+        if sync is not None:
+            import jax
+
+            jax.block_until_ready(sync)
+        node.elapsed += time.perf_counter() - t0
+        node.calls += 1
+        _stack.pop()
+        if top and enabled():
+            print(report(node))
+
+
+def sync_point(value):
+    """Block on device work inside a phase (explicit attribution point)."""
+    import jax
+
+    jax.block_until_ready(value)
+    return value
+
+
+def report(node: _Node | None = None, indent: int = 0) -> str:
+    """Render the phase tree as an aligned text table."""
+    if node is None:
+        node = _root
+        lines = []
+    else:
+        lines = [
+            f"{'  ' * indent}{node.name:<{max(28 - 2 * indent, 1)}s}"
+            f" {node.elapsed * 1e3:10.1f} ms  x{node.calls}"
+        ]
+    for child in node.children.values():
+        lines.append(report(child, indent + 1))
+    return "\n".join(lines)
+
+
+def reset():
+    global _root, _stack
+    _root = _Node("root")
+    _stack = [_root]

@@ -78,3 +78,24 @@ def test_run_bits(tmp_path):
 def test_run_pedersen(tmp_path):
     r1cs, wtns, out = _paths("pedersen_test", tmp_path)
     runner.run_with_file_path(r1cs, wtns, out)
+
+
+def test_native_path_proof_identical(tmp_path, monkeypatch):
+    """The C++ parse/arithmetize fast path must emit a byte-identical proof
+    JSON to the pure-Python path (proofs are deterministic)."""
+    from stark_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    r1cs, wtns, out_py = _paths("compute", tmp_path)
+    out_nat = str(tmp_path / "compute_native.json")
+    monkeypatch.setenv("STARK_TPU_NATIVE", "0")
+    runner.prove_with_file_path(r1cs, wtns, out_py)
+    monkeypatch.setenv("STARK_TPU_NATIVE", "1")
+    runner.prove_with_file_path(r1cs, wtns, out_nat)
+    with open(out_py) as f:
+        a = f.read()
+    with open(out_nat) as f:
+        b = f.read()
+    assert a == b
+    runner.verify_with_file_path(r1cs, wtns, out_nat)

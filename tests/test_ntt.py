@@ -88,11 +88,10 @@ def test_lde_extends_low_degree():
     trace = [rng.randrange(spec.p) for _ in range(steps)]
     g2 = spec.root_of_unity(precision)
     g1 = pow(g2, ext, spec.p)
-    w1_inv = nttmod.inverse_table(spec, g1, steps)
-    w2 = nttmod.forward_table(spec, g2, precision)
+    plan = nttmod.make_lde_plan(spec, g1, g2, steps, precision)
     tm = mm.to_mont(spec, mm.ints_to_limbs_np(trace, spec))
     ext_evals = mm.limbs_to_ints_np(
-        mm.from_mont(spec, nttmod.lde(spec, tm, w1_inv, w2, precision)), spec
+        mm.from_mont(spec, nttmod.lde(spec, tm, plan)), spec
     )
     # strided positions recover the original trace
     assert ext_evals[::ext] == trace
@@ -136,3 +135,26 @@ def test_multi_interp_4_matches_host_lagrange():
     for q in range(Q):
         expect = ph.eval_quartic(spec, ph.lagrange_interp(spec, xs[q], ys[q]), x0)
         assert evals[q] == expect
+
+
+def test_two_level_matches_single_level():
+    # the n1*n2 decomposed pipeline (used for every large transform) must
+    # agree with the direct single-level cores on both directions
+    spec = BN254_FR
+    n = 2048  # > _SMALL_NTT -> two-level path
+    rng = random.Random(7)
+    vals = [rng.randrange(spec.p) for _ in range(n)]
+    root = spec.root_of_unity(n)
+    a = mm.to_mont(spec, mm.ints_to_limbs_np(vals, spec))
+    w_half = nttmod.forward_table(spec, root, n)
+
+    plan = nttmod.NttPlan(spec, root, n, "dif")
+    assert not plan.small
+    got = np.asarray(nttmod._dif_fast(spec, a, plan))
+    want = np.asarray(nttmod._dif_core(spec, a, w_half))
+    assert np.array_equal(got, want)
+
+    plan_dit = nttmod.NttPlan(spec, root, n, "dit")
+    got = np.asarray(nttmod._dit_fast(spec, a, plan_dit))
+    want = np.asarray(nttmod._dit_core(spec, a, w_half))
+    assert np.array_equal(got, want)
