@@ -28,6 +28,12 @@ import time
 
 import jax
 
+# persistent compile cache: the pallas NTT kernels are expensive to compile
+# once per circuit size, then free
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_stark"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def main():
     t_setup = time.time()

@@ -35,11 +35,29 @@ Design notes (TPU/XLA):
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
 from stark_tpu.fields.field import FieldSpec
 from stark_tpu.ops import modmath as mm
+from stark_tpu.ops import pallas_field as pf
+
+
+def _use_pallas() -> bool:
+    """Pallas NTT cores: default on real TPU only (the interpret-mode
+    fallback is correct but far too slow for CPU test runs, which use the
+    pure-XLA path instead). STARK_TPU_PALLAS=1 forces it (small CPU tests),
+    =0 disables it everywhere."""
+    v = os.environ.get("STARK_TPU_PALLAS", "auto")
+    if v == "0":
+        return False
+    if v in ("1", "force"):
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _bitrev_perm(n: int) -> np.ndarray:
@@ -156,7 +174,11 @@ def _power_table_batched(spec: FieldSpec, bases, n: int):
 class NttPlan:
     """Device twiddle tables for one (root, n, direction). direction "dif":
     natural -> bitrev; "dit": bitrev -> natural. Build once, reuse across
-    jitted calls (tables become compile-time constants)."""
+    jitted calls (tables become compile-time constants).
+
+    Two implementations share the plan type: the Pallas path (default on
+    all backends; per-stage twiddle arrays, fused small-l stages) and the
+    pure-XLA two-level path (STARK_TPU_PALLAS=0)."""
 
     def __init__(self, spec: FieldSpec, root: int, n: int, direction: str):
         assert direction in ("dif", "dit")
@@ -164,6 +186,33 @@ class NttPlan:
         self.n = n
         self.direction = direction
         p = spec.p
+        self.pallas = _use_pallas() and n > 2
+        if self.pallas:
+            # classic position-twiddle factorizations (GS-DIF / CT-DIT)
+            # share identical per-stage tables tw_k = root^(k*m), k in [l]
+            w_half = mm.power_table(spec, root, max(n // 2, 1))
+            block = min(n, 2 * pf.TILE)
+            logn = n.bit_length() - 1
+            stages = []  # ascending l
+            l, m = 1, n // 2
+            for _ in range(logn):
+                tw = w_half[:, ::m][:, :l] if l > 1 else w_half[:, :1]
+                stages.append((m, l, tw))
+                l *= 2
+                m //= 2
+            fused = [s for s in stages if 2 * s[1] <= block]
+            singles = [s for s in stages if 2 * s[1] > block]
+            if direction == "dif":  # dif runs l descending
+                fused.reverse()
+                singles.reverse()
+            self.singles = singles
+            if fused:
+                ls = [l for (_, l, _) in fused]
+                rows = pf.make_fused_rows(spec, ls, [t for (_, _, t) in fused], block)
+                self.fused = (rows, ls, block)
+            else:
+                self.fused = None
+            return
         if n <= _SMALL_NTT:
             self.small = True
             self.w_half = mm.power_table(spec, root, max(n // 2, 1))
@@ -182,8 +231,32 @@ class NttPlan:
         self.mid_tw = _power_table_batched(spec, bases, n2)  # (L, n1, n2)
 
 
+def _run_pallas(spec: FieldSpec, a, plan: NttPlan):
+    """Execute a pallas plan: strided single-stage kernels for l >= TILE,
+    one fused kernel for the run of small-l stages."""
+    kind = plan.direction
+
+    def run_fused(a):
+        if plan.fused is None:
+            return a
+        rows, ls, block = plan.fused
+        return pf.butterfly_fused(spec, a, rows, ls, block, kind)
+
+    if kind == "dif":
+        for m, l, tw in plan.singles:
+            a = pf.butterfly_stage(spec, a, tw, m, l, kind)
+        a = run_fused(a)
+    else:
+        a = run_fused(a)
+        for m, l, tw in plan.singles:
+            a = pf.butterfly_stage(spec, a, tw, m, l, kind)
+    return a
+
+
 def _dif_fast(spec: FieldSpec, a, plan: NttPlan):
     """(L, n) natural -> (L, n) bitrev DFT via the two-level pipeline."""
+    if plan.pallas:
+        return _run_pallas(spec, a, plan)
     if plan.small:
         return _dif_core(spec, a, plan.w_half)
     L = a.shape[0]
@@ -199,6 +272,8 @@ def _dif_fast(spec: FieldSpec, a, plan: NttPlan):
 
 def _dit_fast(spec: FieldSpec, a, plan: NttPlan):
     """(L, n) bitrev -> (L, n) natural DFT (mirror of `_dif_fast`)."""
+    if plan.pallas:
+        return _run_pallas(spec, a, plan)
     if plan.small:
         return _dit_core(spec, a, plan.w_half)
     L = a.shape[0]

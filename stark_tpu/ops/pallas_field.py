@@ -1,0 +1,304 @@
+"""Pallas TPU kernels for the hot field ops: Montgomery multiply and the
+radix-2 NTT butterfly stage.
+
+Why Pallas here: the XLA limb kernels in :mod:`stark_tpu.ops.modmath` express
+the 16-limb schoolbook/REDC as `fori_loop`s whose accumulators round-trip
+through HBM, and the butterfly's (m, 2, l) views force tiled-layout churn.
+These kernels instead keep one (L, T) tile of operands resident in VMEM and
+run the whole multiply + reduction + carry chain unrolled on the VPU --
+one HBM read and one write per operand per stage, which is the memory-bound
+speed of light for an NTT stage.
+
+Replaces the compute path of the reference's `serial_fft`/`parallel_fft`
+butterfly loops (`/root/reference/packages/fri/src/fft.rs:150-251`) and the
+`ff_derive` Montgomery multiply (`packages/ff_utils/src/fp.rs:8-12`).
+
+Layout contract (same as modmath): uint32 planes, 16-bit limbs, limbs-first
+`(L, n)`, values in Montgomery form. Kernels run in interpret mode on CPU
+(tests, the driver's virtual-mesh dryrun) and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stark_tpu.fields.field import LIMB_BITS, FieldSpec, int_to_limbs
+
+MASK = np.uint32((1 << LIMB_BITS) - 1)
+SHIFT = LIMB_BITS
+TILE = 1024  # lanes per kernel block
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _rows(x):
+    """(L, T) value -> list of L (T,) row vectors."""
+    return [x[i] for i in range(x.shape[0])]
+
+
+def _carry(cols, keep: int):
+    """Ripple-carry deferred columns (< 2^31) to exact 16-bit limbs."""
+    out = []
+    c = None
+    for k in range(keep):
+        v = cols[k] if c is None else cols[k] + c
+        out.append(v & MASK)
+        c = v >> SHIFT
+    return out, c
+
+
+def _mont_mul_rows(spec: FieldSpec, A, B):
+    """Unrolled CIOS-free Montgomery product of row lists (length L each,
+    canonical 16-bit limbs). Returns L rows = (a*b*R^-1) mod p."""
+    L = spec.num_limbs
+    P = spec.p_limbs
+    NP = int_to_limbs(
+        (-pow(spec.p, -1, 1 << spec.r_bits)) % (1 << spec.r_bits), L
+    )
+    # t = a*b (2L+1 deferred columns, each < 2L * 2^16 <= 2^21)
+    zeros = jnp.zeros_like(A[0])
+    cols = [zeros] * (2 * L + 1)
+    for i in range(L):
+        for j in range(L):
+            prod = A[i] * B[j]
+            cols[i + j] = cols[i + j] + (prod & MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (prod >> SHIFT)
+    t, _ = _carry(cols, 2 * L + 1)
+    # m = (t mod R) * n' mod R (only the low L columns matter)
+    mcols = [zeros] * L
+    for i in range(L):
+        ti = t[i]
+        for j in range(L - i):
+            prod = ti * np.uint32(NP[j])
+            mcols[i + j] = mcols[i + j] + (prod & MASK)
+            if i + j + 1 < L:
+                mcols[i + j + 1] = mcols[i + j + 1] + (prod >> SHIFT)
+    m, _ = _carry(mcols, L)
+    # s = (t + m*p) / R  (< 2p, fits L limbs)
+    ucols = list(t)
+    for i in range(L):
+        mi = m[i]
+        for j in range(L):
+            prod = mi * np.uint32(P[j])
+            ucols[i + j] = ucols[i + j] + (prod & MASK)
+            ucols[i + j + 1] = ucols[i + j + 1] + (prod >> SHIFT)
+    s, _ = _carry(ucols, 2 * L + 1)
+    return _cond_sub_p_rows(spec, s[L : 2 * L])
+
+
+def _cond_sub_p_rows(spec: FieldSpec, limbs):
+    """Rows (< 2p) -> canonical: subtract p where >= p (complement add)."""
+    L = spec.num_limbs
+    P = spec.p_limbs
+    diff = []
+    c = jnp.ones_like(limbs[0])  # +1 of the two's complement
+    for i in range(L):
+        v = limbs[i] + np.uint32(MASK - P[i]) + c
+        diff.append(v & MASK)
+        c = v >> SHIFT
+    ge = c > 0  # no borrow -> value >= p
+    return [jnp.where(ge, diff[i], limbs[i]) for i in range(L)]
+
+
+def _add_rows(spec: FieldSpec, A, B):
+    L = spec.num_limbs
+    out = []
+    c = None
+    for i in range(L):
+        v = A[i] + B[i] if c is None else A[i] + B[i] + c
+        out.append(v & MASK)
+        c = v >> SHIFT
+    # value < 2p fits L limbs for our <2^255 moduli; c is 0 here
+    return _cond_sub_p_rows(spec, out)
+
+
+def _sub_rows(spec: FieldSpec, A, B):
+    """(a - b) mod p: a + (R-1-b) + 1; add p back on borrow."""
+    L = spec.num_limbs
+    P = spec.p_limbs
+    raw = []
+    c = jnp.ones_like(A[0])
+    for i in range(L):
+        v = A[i] + (MASK - B[i]) + c
+        raw.append(v & MASK)
+        c = v >> SHIFT
+    a_ge_b = c > 0
+    fixed = []
+    c2 = None
+    for i in range(L):
+        v = raw[i] + np.uint32(P[i]) if c2 is None else raw[i] + np.uint32(P[i]) + c2
+        fixed.append(v & MASK)
+        c2 = v >> SHIFT
+    return [jnp.where(a_ge_b, raw[i], fixed[i]) for i in range(L)]
+
+
+# ---------------------------------------------------------------------------
+# elementwise Montgomery multiply kernel
+# ---------------------------------------------------------------------------
+
+def _mmul_kernel(spec, a_ref, b_ref, o_ref):
+    A = _rows(a_ref[:])
+    B = _rows(b_ref[:])
+    out = _mont_mul_rows(spec, A, B)
+    o_ref[:] = jnp.stack(out, axis=0)
+
+
+def mmul(spec: FieldSpec, a, b):
+    """Elementwise Montgomery product of (L, n) planes (n multiple of TILE
+    preferred; any n works with one block)."""
+    L, n = a.shape
+    t = TILE if n % TILE == 0 else n
+    grid = (n // t,)
+    return pl.pallas_call(
+        functools.partial(_mmul_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(a, b)
+
+
+# ---------------------------------------------------------------------------
+# NTT butterfly stage kernel
+# ---------------------------------------------------------------------------
+#
+# One radix-2 stage over the flat (L, n) array viewed as (L, m, 2, l):
+#   y0 = x0 + tw*x1 ; y1 = x0 - tw*x1
+# Each kernel block covers g whole group-pairs of width w (g*w = TILE or the
+# whole stage if smaller), so every HBM access is a regular strided slice.
+# Twiddles: "dif" = per group (tw array (L, m)); "dit" = per in-group
+# position (tw array (L, l)).
+
+
+# ---------------------------------------------------------------------------
+# NTT butterfly stages (classic position-twiddle factorizations)
+# ---------------------------------------------------------------------------
+#
+# Stage shape: (L, n) flat array viewed as groups of 2l; within a group,
+# position k in [l] pairs (u, v) = (x[k], x[k+l]); the twiddle w^(k*m)
+# (m = n/2l) depends only on k -- Gentleman-Sande DIF (natural -> bitrev):
+#     y[k] = u + v ;        y[k+l] = (u - v) * tw_k
+# and Cooley-Tukey DIT (bitrev -> natural):
+#     t = v * tw_k ; y[k] = u + t ; y[k+l] = u - t
+# Both directions share identical per-stage twiddle tables (L, l).
+#
+# For l >= TILE the pairs are DMA'd as two lane-wide chunks of a strided
+# 4-D block. For l < TILE ("fused" stages) whole groups sit inside one
+# (L, block) tile; partners are reached with the XOR-roll trick
+# (pair[i] = x[i^l] = select(bit_l(i), roll(x,l), roll(x,-l))), which needs
+# no lane-splitting reshapes, and all remaining stages run back-to-back in
+# VMEM with one HBM round trip. Their twiddle rows are precomputed
+# full-width (L, block) patterns (period 2l: [tw_0..tw_{l-1}] twice) --
+# identical for every block, a few MB total.
+
+
+def _butterfly_pair(spec, kind, X0, X1, TW):
+    """Row lists (u, v, tw) -> (y0, y1) rows per the formulas above."""
+    if kind == "dif":
+        y0 = _add_rows(spec, X0, X1)
+        y1 = _mont_mul_rows(spec, TW, _sub_rows(spec, X0, X1))
+    else:
+        t = _mont_mul_rows(spec, TW, X1)
+        y0 = _add_rows(spec, X0, t)
+        y1 = _sub_rows(spec, X0, t)
+    return y0, y1
+
+
+def _single_stage_kernel(spec, kind, x_ref, tw_ref, o_ref):
+    # block (L, 1, 2, w): one group-pair chunk; tw block (L, w)
+    x0 = x_ref[:, 0, 0, :]
+    x1 = x_ref[:, 0, 1, :]
+    y0, y1 = _butterfly_pair(
+        spec, kind, _rows(x0), _rows(x1), _rows(tw_ref[:])
+    )
+    o_ref[:, 0, 0, :] = jnp.stack(y0, axis=0)
+    o_ref[:, 0, 1, :] = jnp.stack(y1, axis=0)
+
+
+def butterfly_stage(spec: FieldSpec, a, tw_stage, m: int, l: int, kind: str):
+    """One radix-2 stage on flat (L, n) `a` viewed as (L, m, 2, l); only for
+    l >= TILE. tw_stage: (L, l) per-position table."""
+    L, n = a.shape
+    assert n == 2 * m * l and l % TILE == 0
+    w = TILE
+    grid = (m, l // w)
+    a4 = a.reshape(L, m, 2, l)
+    out = pl.pallas_call(
+        functools.partial(_single_stage_kernel, spec, kind),
+        out_shape=jax.ShapeDtypeStruct((L, m, 2, l), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (L, 1, 2, w), lambda i, j: (0, i, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((L, w), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (L, 1, 2, w), lambda i, j: (0, i, 0, j), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(a4, tw_stage)
+    return out.reshape(L, n)
+
+
+def _roll(x, shift):
+    if _interpret():
+        return jnp.roll(x, shift, axis=1)
+    return pltpu.roll(x, shift % x.shape[1], axis=1)
+
+
+def _fused_kernel(spec, ls, block, kind, x_ref, tw_ref, o_ref):
+    """All stages with 2*l <= block in VMEM; tw_ref: (L, n_stages, block)."""
+    L = spec.num_limbs
+    x = x_ref[:]  # (L, block)
+    ids = jax.lax.broadcasted_iota(jnp.uint32, (L, block), 1)
+    for s, l in enumerate(ls):
+        bit = (ids & np.uint32(l)) != 0
+        pair = jnp.where(bit, _roll(x, l), _roll(x, -l))
+        u = jnp.where(bit, pair, x)
+        v = jnp.where(bit, x, pair)
+        tw = tw_ref[:, s, :]
+        y0, y1 = _butterfly_pair(spec, kind, _rows(u), _rows(v), _rows(tw))
+        y0 = jnp.stack(y0, axis=0)
+        y1 = jnp.stack(y1, axis=0)
+        x = jnp.where(bit, y1, y0)
+    o_ref[:] = x
+
+
+def make_fused_rows(spec: FieldSpec, stage_ls, stage_tws, block: int):
+    """Per-stage (L, l) tables -> (L, n_stages, block) full-width rows with
+    period-2l pattern [tw_0..tw_{l-1}, tw_0..tw_{l-1}]."""
+    rows = []
+    for l, tw in zip(stage_ls, stage_tws):
+        rows.append(jnp.tile(tw, (1, block // l))[:, None, :])
+    return jnp.concatenate(rows, axis=1)
+
+
+def butterfly_fused(spec: FieldSpec, a, tw_rows, stage_ls, block: int, kind: str):
+    """Run the small-l stage run in one kernel. a: flat (L, n)."""
+    L, n = a.shape
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, spec, stage_ls, block, kind),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (L, len(stage_ls), block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(a, tw_rows)
