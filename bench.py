@@ -38,7 +38,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 def main():
     t_setup = time.time()
     from stark_tpu.fields.field import BN254_FR as spec
-    from stark_tpu.protocol.core import build_single_chip_step, make_example_inputs
+    from stark_tpu.protocol.core import build_staged_prover, make_example_inputs
     from stark_tpu.protocol.params import derive_params
     from stark_tpu.r1cs.arithmetize import arithmetize
     from stark_tpu.r1cs.synth import squaring_chain
@@ -50,7 +50,7 @@ def main():
     params = derive_params(spec, arith.original_steps)
     steps, precision = params.steps, params.precision
 
-    fn = build_single_chip_step(spec, steps, precision, arith.original_steps)
+    fn = build_staged_prover(spec, steps, precision, arith.original_steps)
     args = make_example_inputs(spec, arith, witness[:2], params)
 
     # warmup / compile

@@ -79,14 +79,14 @@ def commit_np(leaves_np: np.ndarray, digest: str = "blake2s") -> MerkleTree:
     assert n & (n - 1) == 0, "power-of-two leaf count required"
     if digest == "blake2s":
         words = jnp.asarray(b2.bytes_to_words_np(leaves_np, leaf_bytes))
-        digests = b2.blake2s_words(words, leaf_bytes)  # (8, N)
+        digests = b2.blake2s_words_best(words, leaf_bytes)  # (8, N)
         layers = [b2.digest_words_to_bytes_np(digests)]
         cur = digests
         while cur.shape[1] > 1:
             # pair (2i, 2i+1): message = 16 words (left digest || right digest)
             m = cur.reshape(8, cur.shape[1] // 2, 2)
             msg = jnp.concatenate([m[:, :, 0], m[:, :, 1]], axis=0)  # (16, n/2)
-            cur = b2.blake2s_words(msg, 64)
+            cur = b2.blake2s_words_best(msg, 64)
             layers.append(b2.digest_words_to_bytes_np(cur))
     elif digest == "poseidon":
         from stark_tpu.fields.field import BLS12_381_FR

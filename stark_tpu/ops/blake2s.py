@@ -136,3 +136,18 @@ def bytes_to_words_np(data: np.ndarray, msg_len: int) -> np.ndarray:
     buf = np.zeros((n, nblocks * 64), dtype=np.uint8)
     buf[:, :msg_len] = data
     return np.ascontiguousarray(buf.view("<u4").T)
+
+
+def blake2s_words_best(msgs, msg_len: int):
+    """Dispatch to the Pallas kernel on TPU (STARK_TPU_PALLAS=1 forces, =0
+    disables), the XLA kernel otherwise. Identical semantics."""
+    import os
+
+    v = os.environ.get("STARK_TPU_PALLAS", "auto")
+    use = v != "0" and (v in ("1", "force") or jax.default_backend() == "tpu")
+    if use:
+        from stark_tpu.ops import pallas_blake2s as pb
+
+        if msgs.shape[1] >= pb.TILE or v in ("1", "force"):
+            return pb.blake2s_words(msgs, msg_len)
+    return blake2s_words(msgs, msg_len)

@@ -35,6 +35,7 @@ Design notes (TPU/XLA):
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax.numpy as jnp
@@ -186,7 +187,10 @@ class NttPlan:
         self.n = n
         self.direction = direction
         p = spec.p
-        self.pallas = _use_pallas() and n > 2
+        # below 4*TILE the XLA path is fine and per-shape pallas kernels
+        # would just churn compiles (FRI rounds shrink through many sizes)
+        forced = os.environ.get("STARK_TPU_PALLAS", "") in ("1", "force")
+        self.pallas = _use_pallas() and (n >= 4 * pf.TILE or forced) and n > 2
         if self.pallas:
             # classic position-twiddle factorizations (GS-DIF / CT-DIT)
             # share identical per-stage tables tw_k = root^(k*m), k in [l]
@@ -231,25 +235,44 @@ class NttPlan:
         self.mid_tw = _power_table_batched(spec, bases, n2)  # (L, n1, n2)
 
 
+@functools.lru_cache(maxsize=None)
+def _stage_jit(spec: FieldSpec, m: int, l: int, kind: str):
+    """Cached jitted single-stage kernel (so eager per-stage dispatch hits
+    one compiled executable per (shape, stage) instead of re-lowering)."""
+    import jax
+
+    return jax.jit(lambda a, tw: pf.butterfly_stage(spec, a, tw, m, l, kind))
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_jit(spec: FieldSpec, ls: tuple, block: int, kind: str):
+    import jax
+
+    return jax.jit(
+        lambda a, rows: pf.butterfly_fused(spec, a, rows, list(ls), block, kind)
+    )
+
+
 def _run_pallas(spec: FieldSpec, a, plan: NttPlan):
     """Execute a pallas plan: strided single-stage kernels for l >= TILE,
-    one fused kernel for the run of small-l stages."""
+    one fused kernel for the run of small-l stages. Stages dispatch as
+    separate jits -- small compile modules, cached executables."""
     kind = plan.direction
 
     def run_fused(a):
         if plan.fused is None:
             return a
         rows, ls, block = plan.fused
-        return pf.butterfly_fused(spec, a, rows, ls, block, kind)
+        return _fused_jit(spec, tuple(ls), block, kind)(a, rows)
 
     if kind == "dif":
         for m, l, tw in plan.singles:
-            a = pf.butterfly_stage(spec, a, tw, m, l, kind)
+            a = _stage_jit(spec, m, l, kind)(a, tw)
         a = run_fused(a)
     else:
         a = run_fused(a)
         for m, l, tw in plan.singles:
-            a = pf.butterfly_stage(spec, a, tw, m, l, kind)
+            a = _stage_jit(spec, m, l, kind)(a, tw)
     return a
 
 

@@ -55,42 +55,61 @@ def _carry(cols, keep: int):
     return out, c
 
 
+def _bigmul_cols_loop(A, B, L: int):
+    """(L, T) x (L, T) -> (2L+1, T) deferred columns (< 2^21 each).
+
+    Static python loop over A's limbs, one whole-plane (L, T) multiply per
+    iteration (full-sublane vector ops; Mosaic has no dynamic_slice on
+    values, and per-scalar-row unrolling is 16x more instructions)."""
+    T = A.shape[1]
+    zrow = jnp.zeros((1, T), jnp.uint32)
+    cols = jnp.zeros((2 * L + 1, T), jnp.uint32)
+    for i in range(L):
+        pp = A[i][None, :] * B  # (L, T) exact 16x16 products
+        contrib = jnp.concatenate([pp & MASK, zrow], axis=0) + jnp.concatenate(
+            [zrow, pp >> SHIFT], axis=0
+        )  # (L+1, T)
+        # place contrib at row offset i: i zero rows above, L-i below
+        pads = [zrow] * i + [contrib] + [zrow] * (L - i)  # 2L+1 rows total
+        cols = cols + jnp.concatenate(pads, axis=0)
+    return cols
+
+
+def _carry_arr(cols, keep: int):
+    """Array variant of `_carry`: (K, T) deferred columns -> list of rows."""
+    return _carry([cols[k] for k in range(cols.shape[0])], keep)
+
+
 def _mont_mul_rows(spec: FieldSpec, A, B):
-    """Unrolled CIOS-free Montgomery product of row lists (length L each,
-    canonical 16-bit limbs). Returns L rows = (a*b*R^-1) mod p."""
+    """Montgomery product of row lists (length L each, canonical 16-bit
+    limbs). Returns L rows = (a*b*R^-1) mod p. The three schoolbook products
+    run as fori_loops (small compiled body; accumulators live in VMEM);
+    carries and the conditional subtract are short static chains."""
     L = spec.num_limbs
     P = spec.p_limbs
     NP = int_to_limbs(
         (-pow(spec.p, -1, 1 << spec.r_bits)) % (1 << spec.r_bits), L
     )
-    # t = a*b (2L+1 deferred columns, each < 2L * 2^16 <= 2^21)
-    zeros = jnp.zeros_like(A[0])
-    cols = [zeros] * (2 * L + 1)
-    for i in range(L):
-        for j in range(L):
-            prod = A[i] * B[j]
-            cols[i + j] = cols[i + j] + (prod & MASK)
-            cols[i + j + 1] = cols[i + j + 1] + (prod >> SHIFT)
-    t, _ = _carry(cols, 2 * L + 1)
-    # m = (t mod R) * n' mod R (only the low L columns matter)
-    mcols = [zeros] * L
-    for i in range(L):
-        ti = t[i]
-        for j in range(L - i):
-            prod = ti * np.uint32(NP[j])
-            mcols[i + j] = mcols[i + j] + (prod & MASK)
-            if i + j + 1 < L:
-                mcols[i + j + 1] = mcols[i + j + 1] + (prod >> SHIFT)
-    m, _ = _carry(mcols, L)
+    Aa = jnp.stack(A, axis=0)
+    Ba = jnp.stack(B, axis=0)
+    T = Aa.shape[1]
+
+    def const_plane(limbs):
+        # built from scalars in-trace: pallas kernels may not capture
+        # concrete array constants
+        return jnp.stack(
+            [jnp.full((T,), np.uint32(c), jnp.uint32) for c in limbs], axis=0
+        )
+
+    # t = a*b
+    t, _ = _carry_arr(_bigmul_cols_loop(Aa, Ba, L), 2 * L + 1)
+    # m = (t mod R) * n' mod R (low L columns only; extra highs are dropped)
+    mcols = _bigmul_cols_loop(jnp.stack(t[:L], axis=0), const_plane(NP), L)
+    m, _ = _carry_arr(mcols[:L], L)
     # s = (t + m*p) / R  (< 2p, fits L limbs)
-    ucols = list(t)
-    for i in range(L):
-        mi = m[i]
-        for j in range(L):
-            prod = mi * np.uint32(P[j])
-            ucols[i + j] = ucols[i + j] + (prod & MASK)
-            ucols[i + j + 1] = ucols[i + j + 1] + (prod >> SHIFT)
-    s, _ = _carry(ucols, 2 * L + 1)
+    ucols = _bigmul_cols_loop(jnp.stack(m, axis=0), const_plane(P), L)
+    ucols = ucols + jnp.stack(t, axis=0)
+    s, _ = _carry_arr(ucols, 2 * L + 1)
     return _cond_sub_p_rows(spec, s[L : 2 * L])
 
 

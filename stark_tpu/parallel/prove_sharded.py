@@ -64,12 +64,12 @@ def merkle_root_words(spec_unused, leaf_words, leaf_bytes: int, axis_name, n_dev
 
     Local log-depth fold to one subroot per device, all_gather, replicated
     top fold. Requires leaves-per-device >= 1 and powers of two."""
-    h = b2.blake2s_words(leaf_words, leaf_bytes)  # (8, M)
+    h = b2.blake2s_words_best(leaf_words, leaf_bytes)  # (8, M)
     while h.shape[1] > 1:
         m = h.shape[1] // 2
         pair = h.reshape(8, m, 2)
         msg = jnp.concatenate([pair[:, :, 0], pair[:, :, 1]], axis=0)
-        h = b2.blake2s_words(msg, 64)
+        h = b2.blake2s_words_best(msg, 64)
     sub = h[:, 0]  # (8,)
     allsub = jax.lax.all_gather(sub, axis_name, axis=1)  # (8, d)
     h = allsub
@@ -77,7 +77,7 @@ def merkle_root_words(spec_unused, leaf_words, leaf_bytes: int, axis_name, n_dev
         m = h.shape[1] // 2
         pair = h.reshape(8, m, 2)
         msg = jnp.concatenate([pair[:, :, 0], pair[:, :, 1]], axis=0)
-        h = b2.blake2s_words(msg, 64)
+        h = b2.blake2s_words_best(msg, 64)
     return h[:, 0]
 
 

@@ -25,12 +25,12 @@ from stark_tpu.parallel.prove_sharded import _leaves_to_words
 
 def merkle_root_local(leaf_words, leaf_bytes: int):
     """(W, N) leaf words -> (8,) root digest words, all on device."""
-    h = b2.blake2s_words(leaf_words, leaf_bytes)
+    h = b2.blake2s_words_best(leaf_words, leaf_bytes)
     while h.shape[1] > 1:
         m = h.shape[1] // 2
         pair = h.reshape(8, m, 2)
         msg = jnp.concatenate([pair[:, :, 0], pair[:, :, 1]], axis=0)
-        h = b2.blake2s_words(msg, 64)
+        h = b2.blake2s_words_best(msg, 64)
     return h[:, 0]
 
 
@@ -102,6 +102,94 @@ def build_single_chip_step(
         return m_root, l_root, l_ev
 
     return step
+
+
+def build_staged_prover(
+    spec: FieldSpec, steps: int, precision: int, original_steps: int
+):
+    """Same computation as `build_single_chip_step`, but split into a few
+    jitted pieces with ONE compiled LDE executable reused for all 9 columns.
+
+    The mono-jit version inlines the Pallas NTT kernels at every call site
+    (17 LDEs x ~12 kernels -> a ~180 MB MLIR module that OOMs the
+    compiler); here the LDE compiles once. Returns fn(traces, r, k, i2,
+    pubx) -> (m_root_words, l_root_words, l_ev)."""
+    p = spec.p
+    skips = precision // steps
+    kshift = original_steps // 3 * skips
+    g2 = spec.root_of_unity(precision)
+    g1 = pow(g2, skips, p)
+    xs_full = mm.power_table(spec, g2, precision)
+    lde_plan = nttm.make_lde_plan(spec, g1, g2, steps, precision)
+    omega = pow(g2, steps, p)
+    inv_z_scalars = [0] + [
+        pow((pow(omega, t, p) - 1) % p, p - 2, p) for t in range(1, skips)
+    ]
+    pow_scalars = [pow(omega, t, p) for t in range(skips)]
+    x_last = pow(g2, precision - skips, p)
+    x_last_mont = mm.mont_const(spec, x_last)
+    inv_z_base = mm.mont_consts(spec, inv_z_scalars)
+    x2s_base = mm.mont_consts(spec, pow_scalars)
+
+    # pallas plans dispatch stage kernels eagerly (each kernel compiles as
+    # its own small module; one outer jit would concatenate every kernel
+    # payload into a single giant MLIR module and OOM the compiler)
+    if getattr(lde_plan.big_dit, "pallas", False):
+        lde_j = lambda t: nttm.lde(spec, t, lde_plan)
+    else:
+        lde_j = jax.jit(lambda t: nttm.lde(spec, t, lde_plan))
+
+    @jax.jit
+    def acc_j(traces, r_mont):
+        vn, vd = kernels.rand_combination(
+            spec, r_mont, traces["idx"], traces["perm"], traces["s"]
+        )
+        return kernels.accumulator_mini(spec, vn, vd)
+
+    @jax.jit
+    def rest_j(evs, a_ev, r_mont, k_mont, i2_mont, pubx_mont):
+        q1 = kernels.q1_eval(
+            spec, evs["s"], evs["k"], evs["p"], evs["f0"], evs["f1"], skips
+        )
+        q2 = kernels.q2_eval(spec, evs["p"], evs["f2"], kshift)
+        vn_big, vd_big = kernels.rand_combination(
+            spec, r_mont, evs["idx"], evs["perm"], evs["s"]
+        )
+        q3 = kernels.q3_eval(spec, a_ev, vn_big, vd_big, skips)
+        inv_z = jnp.tile(inv_z_base, (1, precision // skips))
+        d1 = mm.mmul(spec, q1, inv_z)
+        d2 = mm.mmul(spec, q2, inv_z)
+        d3 = mm.mmul(spec, q3, inv_z)
+        i2_ev = kernels.horner_eval(spec, i2_mont, xs_full)
+        one_big = jnp.broadcast_to(mm.mont_one(spec), evs["s"].shape)
+        zb2 = kernels.vanishing_eval(spec, xs_full, pubx_mont)
+        zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape))
+        b2_ev = mm.mmul(spec, mm.msub(spec, evs["s"], i2_ev), mm.multi_inv(spec, zb2))
+        b3_ev = mm.mmul(spec, mm.msub(spec, a_ev, one_big), mm.multi_inv(spec, zb3))
+        x_to_steps = jnp.tile(x2s_base, (1, precision // skips))
+        l_ev = kernels.linear_combination(
+            spec, k_mont, x_to_steps, evs["p"], a_ev, evs["s"],
+            d1, d2, d3, b2_ev, b3_ev,
+        )
+        m_words = _leaves_to_words(
+            spec, [evs["p"], a_ev, evs["s"], d1, d2, d3, b2_ev, b3_ev]
+        )
+        l_words = _leaves_to_words(spec, [l_ev])
+        return m_words, l_words, l_ev
+
+    root_m_j = jax.jit(lambda w: merkle_root_local(w, 256))
+    root_l_j = jax.jit(lambda w: merkle_root_local(w, 32))
+
+    def run(traces, r_mont, k_mont, i2_mont, pubx_mont):
+        evs = {name: lde_j(traces[name]) for name in
+               ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")}
+        a_ev = lde_j(acc_j(traces, r_mont))
+        m_words, l_words, l_ev = rest_j(
+            evs, a_ev, r_mont, k_mont, i2_mont, pubx_mont
+        )
+        return root_m_j(m_words), root_l_j(l_words), l_ev
+
+    return run
 
 
 def make_example_inputs(spec: FieldSpec, arith, public_wires, params):

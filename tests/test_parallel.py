@@ -136,3 +136,36 @@ def test_sharded_prover_step_matches_single_chip():
     assert np.array_equal(np.asarray(m1), np.asarray(m2))
     assert np.array_equal(np.asarray(l1), np.asarray(l2))
     assert np.array_equal(np.asarray(lev1), np.asarray(lev2))
+
+
+def test_staged_prover_matches_mono_jit():
+    """build_staged_prover (the bench path: one compiled LDE reused per
+    column) must produce the same roots/evaluations as the mono-jit core."""
+    import numpy as np
+
+    from stark_tpu.fields.field import BN254_FR as spec
+    from stark_tpu.protocol.core import (
+        build_single_chip_step,
+        build_staged_prover,
+        make_example_inputs,
+    )
+    from stark_tpu.protocol.params import derive_params
+    from stark_tpu.r1cs.arithmetize import arithmetize
+    from stark_tpu.r1cs.synth import squaring_chain
+
+    r1cs, wb = squaring_chain(20)
+    witness = [spec.from_bytes_le(w) for w in wb]
+    arith = arithmetize(spec, r1cs.constraints, witness, r1cs.header.n_wires, 2)
+    params = derive_params(spec, arith.original_steps)
+    args = make_example_inputs(spec, arith, witness[:2], params)
+    mono = build_single_chip_step(
+        spec, params.steps, params.precision, arith.original_steps
+    )
+    staged = build_staged_prover(
+        spec, params.steps, params.precision, arith.original_steps
+    )
+    m1, l1, ev1 = mono(*args)
+    m2, l2, ev2 = staged(*args)
+    assert np.array_equal(np.asarray(m1), np.asarray(m2))
+    assert np.array_equal(np.asarray(l1), np.asarray(l2))
+    assert np.array_equal(np.asarray(ev1), np.asarray(ev2))
