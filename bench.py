@@ -53,16 +53,24 @@ def main():
     fn = build_staged_prover(spec, steps, precision, arith.original_steps)
     args = make_example_inputs(spec, arith, witness[:2], params)
 
+    import jax.numpy as jnp
+    import numpy as np
+
+    # force host materialization of every output via a cheap jitted
+    # reduction (block_until_ready has been observed to return early
+    # through the remote-TPU transport)
+    red = jax.jit(
+        lambda a, b, c: jnp.sum(a) + jnp.sum(b) + jnp.sum(c, dtype=jnp.uint32)
+    )
+
     # warmup / compile
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(red(*fn(*args)))
     setup_s = time.time() - t_setup
 
     iters = int(os.environ.get("BENCH_ITERS", 3))
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _ = np.asarray(red(*fn(*args)))
     core_s = (time.time() - t0) / iters
 
     constraints_per_s = n_constraints / core_s

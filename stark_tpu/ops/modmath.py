@@ -278,16 +278,64 @@ def _block_size(n: int) -> int:
     return min(b, 1024)
 
 
+def _pallas_scan_ok(n: int) -> bool:
+    import os
+
+    v = os.environ.get("STARK_TPU_PALLAS", "auto")
+    if v == "0" or n < 4096 or n & (n - 1):
+        return False
+    if v in ("1", "force"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _prefix_prod_pallas(spec: FieldSpec, v):
+    """Inclusive prefix product via the Pallas scan kernel, recursively:
+    contiguous chunks of size B ride the sequential axis, chunk totals
+    recurse, and one combine multiply stitches them."""
+    from stark_tpu.ops import pallas_field as pf
+
+    L, n = v.shape
+    if n <= 64:
+        # tiny: plain sequential scan (inside the enclosing jit)
+        def step(carry, x):
+            nc = mmul(spec, carry, x)
+            return nc, nc
+
+        xs = jnp.moveaxis(v[:, :, None], 1, 0)  # (n, L, 1)
+        _, pref = jax.lax.scan(step, jnp.broadcast_to(mont_one(spec), (L, 1)), xs)
+        return jnp.moveaxis(pref[..., 0], 0, 1)
+    C = min(1024, n // 8)
+    B = n // C
+    # chunk-major view, transposed so chunks ride the lanes
+    vb = jnp.swapaxes(v.reshape(L, C, B), 1, 2)  # (L, B, C)
+    pref = pf.scan_prod(spec, vb)  # inclusive per chunk
+    totals = pref[:, B - 1, :]  # (L, C)
+    ctot_inc = _prefix_prod_pallas(spec, totals)
+    one = jnp.broadcast_to(mont_one(spec), (L, 1))
+    ctot_exc = jnp.concatenate([one, ctot_inc[:, :-1]], axis=1)  # (L, C)
+    combined = pf.mmul(
+        spec,
+        jnp.swapaxes(pref, 1, 2).reshape(L, n),
+        jnp.broadcast_to(ctot_exc[:, :, None], (L, C, B)).reshape(L, n),
+    )
+    return combined
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def prefix_prod(spec: FieldSpec, v, reverse: bool = False):
     """Inclusive prefix product along axis 1 of a (L, N) Montgomery array.
 
-    Two-level blocked scan: an in-block lax.scan batched over all blocks,
-    then a sequential scan over block totals, then one combine multiply.
-    Keeps the compiled graph tiny (two scan bodies) unlike associative_scan,
-    which would inline the combine fn O(log N) times.
+    TPU: one-pass Pallas scan kernel (VMEM carry across grid steps) with
+    recursive chunk-total stitching. Fallback: two-level blocked lax.scan
+    (an in-block scan batched over all blocks, then a scan over block
+    totals, then one combine multiply).
     """
     L, n = v.shape
+    if _pallas_scan_ok(n):
+        if reverse:
+            return _prefix_prod_pallas(spec, v[:, ::-1])[:, ::-1]
+        return _prefix_prod_pallas(spec, v)
     if reverse:
         v = v[:, ::-1]
     B = _block_size(n)
@@ -336,7 +384,16 @@ def multi_inv(spec: FieldSpec, a):
     total_inv = minv(spec, pre_inc[:, -1:])
     pre_exc = jnp.concatenate([one[:, :1], pre_inc[:, :-1]], axis=1)
     suf_exc = jnp.concatenate([suf_inc[:, 1:], one[:, :1]], axis=1)
-    out = mmul(spec, mmul(spec, jnp.broadcast_to(total_inv, (L, n)), pre_exc), suf_exc)
+    if _pallas_scan_ok(n):
+        from stark_tpu.ops import pallas_field as pf
+
+        out = pf.mmul(
+            spec, pf.mmul(spec, jnp.broadcast_to(total_inv, (L, n)), pre_exc), suf_exc
+        )
+    else:
+        out = mmul(
+            spec, mmul(spec, jnp.broadcast_to(total_inv, (L, n)), pre_exc), suf_exc
+        )
     return jnp.where(z, jnp.zeros_like(a), out)
 
 

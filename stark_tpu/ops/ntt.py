@@ -174,12 +174,13 @@ def _power_table_batched(spec: FieldSpec, bases, n: int):
 
 class NttPlan:
     """Device twiddle tables for one (root, n, direction). direction "dif":
-    natural -> bitrev; "dit": bitrev -> natural. Build once, reuse across
-    jitted calls (tables become compile-time constants).
+    natural -> bitrev; "dit": bitrev -> natural. Build once; registered as
+    a jax pytree so plans pass through `jit` as runtime arguments (baking
+    the multi-MB tables in as module constants blows up compile payloads).
 
     Two implementations share the plan type: the Pallas path (default on
-    all backends; per-stage twiddle arrays, fused small-l stages) and the
-    pure-XLA two-level path (STARK_TPU_PALLAS=0)."""
+    TPU; per-stage twiddle arrays, fused small-l stages) and the pure-XLA
+    two-level path (STARK_TPU_PALLAS=0 / CPU)."""
 
     def __init__(self, spec: FieldSpec, root: int, n: int, direction: str):
         assert direction in ("dif", "dit")
@@ -340,6 +341,56 @@ def zero_pad(values, n: int):
     return jnp.concatenate([values, jnp.zeros((L, n - m), values.dtype)], axis=1)
 
 
+def _nttplan_flatten(p: "NttPlan"):
+    if p.pallas:
+        children = tuple(tw for (_, _, tw) in p.singles)
+        fused_rows = (p.fused[0],) if p.fused is not None else ()
+        aux = (
+            "pallas",
+            p.n,
+            p.direction,
+            tuple((m, l) for (m, l, _) in p.singles),
+            (tuple(p.fused[1]), p.fused[2]) if p.fused is not None else None,
+        )
+        return children + fused_rows, aux
+    if p.small:
+        return (p.w_half,), ("small", p.n, p.direction)
+    return (
+        (p.w_axis1, p.w_axis2, p.mid_tw),
+        ("two_level", p.n, p.direction, p.n1, p.n2),
+    )
+
+
+def _nttplan_unflatten(aux, children):
+    p = object.__new__(NttPlan)
+    kind = aux[0]
+    p.n, p.direction = aux[1], aux[2]
+    if kind == "pallas":
+        p.pallas = True
+        shapes = aux[3]
+        p.singles = [(m, l, tw) for (m, l), tw in zip(shapes, children[: len(shapes)])]
+        if aux[4] is not None:
+            ls, block = aux[4]
+            p.fused = (children[len(shapes)], list(ls), block)
+        else:
+            p.fused = None
+        return p
+    p.pallas = False
+    if kind == "small":
+        p.small = True
+        p.w_half = children[0]
+        return p
+    p.small = False
+    p.w_axis1, p.w_axis2, p.mid_tw = children
+    p.n1, p.n2 = aux[3], aux[4]
+    return p
+
+
+import jax as _jax  # noqa: E402
+
+_jax.tree_util.register_pytree_node(NttPlan, _nttplan_flatten, _nttplan_unflatten)
+
+
 class LdePlan:
     """Twiddle plans for one (g1, g2, steps, precision) LDE shape."""
 
@@ -349,6 +400,20 @@ class LdePlan:
         self.small_dif = NttPlan(spec, spec.inv(g1), steps, "dif")
         self.big_dit = NttPlan(spec, g2, precision, "dit")
         self.n_inv = mm.mont_const(spec, spec.inv(steps))
+
+
+def _ldeplan_flatten(p: LdePlan):
+    return (p.small_dif, p.big_dit, p.n_inv), (p.steps, p.precision)
+
+
+def _ldeplan_unflatten(aux, children):
+    p = object.__new__(LdePlan)
+    p.steps, p.precision = aux
+    p.small_dif, p.big_dit, p.n_inv = children
+    return p
+
+
+_jax.tree_util.register_pytree_node(LdePlan, _ldeplan_flatten, _ldeplan_unflatten)
 
 
 def make_lde_plan(spec: FieldSpec, g1: int, g2: int, steps: int, precision: int):
@@ -372,11 +437,20 @@ def lde(spec: FieldSpec, trace, plan: LdePlan):
         coeffs_rev = trace
     else:
         coeffs_rev = _dif_fast(spec, trace, plan.small_dif)
-    coeffs_rev = mm.mmul(spec, coeffs_rev, jnp.broadcast_to(plan.n_inv, coeffs_rev.shape))
+    n_inv_b = jnp.broadcast_to(plan.n_inv, coeffs_rev.shape)
+    if getattr(plan.small_dif, "pallas", False):
+        coeffs_rev = pf.mmul(spec, coeffs_rev, n_inv_b)
+    else:
+        coeffs_rev = mm.mmul(spec, coeffs_rev, n_inv_b)
     if ratio == 1:
         padded = coeffs_rev
     else:
-        padded = jnp.zeros((L, steps, ratio), coeffs_rev.dtype)
-        padded = padded.at[:, :, 0].set(coeffs_rev)
-        padded = padded.reshape(L, precision)
+        # interleaved zero-pad as a concat (scatter-free)
+        padded = jnp.concatenate(
+            [
+                coeffs_rev[:, :, None],
+                jnp.zeros((L, steps, ratio - 1), coeffs_rev.dtype),
+            ],
+            axis=2,
+        ).reshape(L, precision)
     return _dit_fast(spec, padded, plan.big_dit)

@@ -170,6 +170,7 @@ def _mmul_kernel(spec, a_ref, b_ref, o_ref):
     o_ref[:] = jnp.stack(out, axis=0)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def mmul(spec: FieldSpec, a, b):
     """Elementwise Montgomery product of (L, n) planes (n multiple of TILE
     preferred; any n works with one block)."""
@@ -321,3 +322,53 @@ def butterfly_fused(spec: FieldSpec, a, tw_rows, stage_ls, block: int, kind: str
         out_specs=pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(a, tw_rows)
+
+
+# ---------------------------------------------------------------------------
+# sequential prefix-product scan (for batch inversion / grand products)
+# ---------------------------------------------------------------------------
+#
+# (L, B, C): C independent chunks on the lane axis, scanned sequentially
+# along axis 1. The running product lives in a VMEM scratch that persists
+# across the (sequential) grid steps, so the whole scan is one kernel with
+# one HBM pass -- the XLA lax.scan equivalent pays an HBM round trip per
+# element (~1 ms x 1024 steps at 2^20).
+
+_SCAN_KB = 8  # rows per grid step (static unroll inside the kernel)
+
+
+def _scan_kernel(spec, kb, x_ref, o_ref, run_ref):
+    L = spec.num_limbs
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        # Montgomery one = R mod p, built from scalars in-trace
+        r1 = int_to_limbs(spec.r_mod_p, L)
+        run_ref[:] = jnp.stack(
+            [jnp.full(run_ref.shape[1:], np.uint32(c), jnp.uint32) for c in r1],
+            axis=0,
+        )
+
+    run = _rows(run_ref[:])
+    for k in range(kb):
+        run = _mont_mul_rows(spec, run, _rows(x_ref[:, k, :]))
+        o_ref[:, k, :] = jnp.stack(run, axis=0)
+    run_ref[:] = jnp.stack(run, axis=0)
+
+
+def scan_prod(spec: FieldSpec, x):
+    """Inclusive prefix product along axis 1 of (L, B, C) Montgomery limbs
+    (independent per lane-column c)."""
+    L, B, C = x.shape
+    kb = _SCAN_KB if B % _SCAN_KB == 0 else B
+    return pl.pallas_call(
+        functools.partial(_scan_kernel, spec, kb),
+        out_shape=jax.ShapeDtypeStruct((L, B, C), jnp.uint32),
+        grid=(B // kb,),
+        in_specs=[
+            pl.BlockSpec((L, kb, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((L, kb, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((L, C), jnp.uint32)],
+        interpret=_interpret(),
+    )(x)

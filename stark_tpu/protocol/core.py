@@ -131,13 +131,13 @@ def build_staged_prover(
     inv_z_base = mm.mont_consts(spec, inv_z_scalars)
     x2s_base = mm.mont_consts(spec, pow_scalars)
 
-    # pallas plans dispatch stage kernels eagerly (each kernel compiles as
-    # its own small module; one outer jit would concatenate every kernel
-    # payload into a single giant MLIR module and OOM the compiler)
-    if getattr(lde_plan.big_dit, "pallas", False):
-        lde_j = lambda t: nttm.lde(spec, t, lde_plan)
-    else:
-        lde_j = jax.jit(lambda t: nttm.lde(spec, t, lde_plan))
+    # one jit per LDE: ~25 small pallas kernels inline into a few-MB module
+    # (manageable), and the remote transport's ~5 ms per-dispatch overhead
+    # is paid once per column instead of once per butterfly stage. The plan
+    # is a pytree ARGUMENT: closed over, its tables would be baked into the
+    # module as multi-MB constants and overflow the compile transport.
+    lde_base = jax.jit(lambda t, pl: nttm.lde(spec, t, pl))
+    lde_j = lambda t: lde_base(t, lde_plan)
 
     @jax.jit
     def acc_j(traces, r_mont):
@@ -146,8 +146,15 @@ def build_staged_prover(
         )
         return kernels.accumulator_mini(spec, vn, vd)
 
-    @jax.jit
-    def rest_j(evs, a_ev, r_mont, k_mont, i2_mont, pubx_mont):
+    inv_z_full = jnp.tile(inv_z_base, (1, precision // skips))
+    x2s_full = jnp.tile(x2s_base, (1, precision // skips))
+    # Zb3 = x - g2^(precision-skips) and its inverse depend only on the
+    # domain: precompute the inverse once per circuit size
+    zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape))
+    inv_zb3 = mm.multi_inv(spec, zb3)
+
+    def rest_fn(evs, a_ev, r_mont, k_mont, i2_mont, pubx_mont, dom):
+        inv_z_full, x2s_full, xs_full, inv_zb3 = dom
         q1 = kernels.q1_eval(
             spec, evs["s"], evs["k"], evs["p"], evs["f0"], evs["f1"], skips
         )
@@ -156,26 +163,28 @@ def build_staged_prover(
             spec, r_mont, evs["idx"], evs["perm"], evs["s"]
         )
         q3 = kernels.q3_eval(spec, a_ev, vn_big, vd_big, skips)
-        inv_z = jnp.tile(inv_z_base, (1, precision // skips))
-        d1 = mm.mmul(spec, q1, inv_z)
-        d2 = mm.mmul(spec, q2, inv_z)
-        d3 = mm.mmul(spec, q3, inv_z)
+        d1 = kernels.mmul_ev(spec, q1, inv_z_full)
+        d2 = kernels.mmul_ev(spec, q2, inv_z_full)
+        d3 = kernels.mmul_ev(spec, q3, inv_z_full)
         i2_ev = kernels.horner_eval(spec, i2_mont, xs_full)
         one_big = jnp.broadcast_to(mm.mont_one(spec), evs["s"].shape)
         zb2 = kernels.vanishing_eval(spec, xs_full, pubx_mont)
-        zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape))
-        b2_ev = mm.mmul(spec, mm.msub(spec, evs["s"], i2_ev), mm.multi_inv(spec, zb2))
-        b3_ev = mm.mmul(spec, mm.msub(spec, a_ev, one_big), mm.multi_inv(spec, zb3))
-        x_to_steps = jnp.tile(x2s_base, (1, precision // skips))
+        b2_ev = kernels.mmul_ev(
+            spec, mm.msub(spec, evs["s"], i2_ev), mm.multi_inv(spec, zb2)
+        )
+        b3_ev = kernels.mmul_ev(spec, mm.msub(spec, a_ev, one_big), inv_zb3)
         l_ev = kernels.linear_combination(
-            spec, k_mont, x_to_steps, evs["p"], a_ev, evs["s"],
+            spec, k_mont, x2s_full, evs["p"], a_ev, evs["s"],
             d1, d2, d3, b2_ev, b3_ev,
         )
-        m_words = _leaves_to_words(
+        m_words = _words_best(
             spec, [evs["p"], a_ev, evs["s"], d1, d2, d3, b2_ev, b3_ev]
         )
-        l_words = _leaves_to_words(spec, [l_ev])
+        l_words = _words_best(spec, [l_ev])
         return m_words, l_words, l_ev
+
+    rest = jax.jit(rest_fn)
+    dom = (inv_z_full, x2s_full, xs_full, inv_zb3)
 
     root_m_j = jax.jit(lambda w: merkle_root_local(w, 256))
     root_l_j = jax.jit(lambda w: merkle_root_local(w, 32))
@@ -184,12 +193,32 @@ def build_staged_prover(
         evs = {name: lde_j(traces[name]) for name in
                ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")}
         a_ev = lde_j(acc_j(traces, r_mont))
-        m_words, l_words, l_ev = rest_j(
-            evs, a_ev, r_mont, k_mont, i2_mont, pubx_mont
+        m_words, l_words, l_ev = rest(
+            evs, a_ev, r_mont, k_mont, i2_mont, pubx_mont, dom
         )
         return root_m_j(m_words), root_l_j(l_words), l_ev
 
     return run
+
+
+def _words_best(spec: FieldSpec, columns):
+    """Leaf packing with the fused from_mont+pack kernel when available."""
+    from stark_tpu.protocol.kernels import _pk
+
+    if _pk(columns[0].shape[1]):
+        from stark_tpu.protocol import pallas_kernels as pkm
+
+        word_cols = [pkm.from_mont_pack_words(spec, c) for c in columns]
+        words = jnp.concatenate(word_cols, axis=0)
+        total_bytes = 32 * len(columns)
+        nblocks = max(1, (total_bytes + 63) // 64)
+        padw = nblocks * 16 - words.shape[0]
+        if padw:
+            words = jnp.concatenate(
+                [words, jnp.zeros((padw, words.shape[1]), jnp.uint32)], axis=0
+            )
+        return words
+    return _leaves_to_words(spec, columns)
 
 
 def make_example_inputs(spec: FieldSpec, arith, public_wires, params):

@@ -10,16 +10,47 @@ interleaves these with the Fiat-Shamir commitments.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from stark_tpu.fields.field import FieldSpec
 from stark_tpu.ops import modmath as mm
 
 
+def _pk(n: int) -> bool:
+    """Route to the fused Pallas kernels (TPU, TILE-aligned domains)."""
+    v = os.environ.get("STARK_TPU_PALLAS", "auto")
+    if v == "0" or n < 1024 or n % 1024:
+        return False
+    if v in ("1", "force"):
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _pkm():
+    from stark_tpu.protocol import pallas_kernels
+
+    return pallas_kernels
+
+
+def mmul_ev(spec: FieldSpec, a, b):
+    """Elementwise Montgomery product with Pallas dispatch (domain-sized)."""
+    if _pk(a.shape[1]):
+        from stark_tpu.ops import pallas_field as pf
+
+        return pf.mmul(spec, a, b)
+    return mm.mmul(spec, a, b)
+
+
 def rand_combination(spec: FieldSpec, r_mont, idx_ev, perm_ev, s_ev):
     """val_nmr/val_dnm = r0 + r1*idx + r2*S (utils.rs:317-318,359-360).
 
     r_mont: (L, 3) Montgomery randomness columns."""
+    if _pk(s_ev.shape[1]):
+        return _pkm().rand_combination(spec, r_mont, idx_ev, perm_ev, s_ev)
     shape = s_ev.shape
     r0 = jnp.broadcast_to(r_mont[:, 0:1], shape)
     r1 = jnp.broadcast_to(r_mont[:, 1:2], shape)
@@ -40,6 +71,8 @@ def accumulator_mini(spec: FieldSpec, val_nmr, val_dnm):
 
 def q1_eval(spec: FieldSpec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips: int):
     """Q1 = F0*(P - F1*P_prev - K*S) (utils.rs:181-213)."""
+    if _pk(s_ev.shape[1]):
+        return _pkm().q1_eval(spec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips)
     p_prev = jnp.roll(p_ev, skips, axis=1)
     return mm.mmul(
         spec,
@@ -55,6 +88,8 @@ def q1_eval(spec: FieldSpec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips: int):
 def q2_eval(spec: FieldSpec, p_ev, f2_ev, kshift: int):
     """Q2 = F2*(P(+2k) - P*P(+k)), k = original_steps/3*skips
     (utils.rs:217-248)."""
+    if _pk(p_ev.shape[1]):
+        return _pkm().q2_eval(spec, p_ev, f2_ev, kshift)
     p_plus_w = jnp.roll(p_ev, -kshift, axis=1)
     p_plus_2w = jnp.roll(p_ev, -2 * kshift, axis=1)
     return mm.mmul(spec, f2_ev, mm.msub(spec, p_plus_2w, mm.mmul(spec, p_ev, p_plus_w)))
@@ -62,6 +97,8 @@ def q2_eval(spec: FieldSpec, p_ev, f2_ev, kshift: int):
 
 def q3_eval(spec: FieldSpec, a_ev, val_nmr_big, val_dnm_big, skips: int):
     """Q3 = A*val_dnm - A_prev*val_nmr (utils.rs:344-376)."""
+    if _pk(a_ev.shape[1]):
+        return _pkm().q3_eval(spec, a_ev, val_nmr_big, val_dnm_big, skips)
     a_prev = jnp.roll(a_ev, skips, axis=1)
     return mm.msub(
         spec, mm.mmul(spec, a_ev, val_dnm_big), mm.mmul(spec, a_prev, val_nmr_big)
@@ -71,6 +108,8 @@ def q3_eval(spec: FieldSpec, a_ev, val_nmr_big, val_dnm_big, skips: int):
 def horner_eval(spec: FieldSpec, coeffs_mont, xs_full):
     """Evaluate a low-degree polynomial (host-interpolated boundary
     interpolant) on the whole domain. coeffs_mont: (L, deg+1)."""
+    if _pk(xs_full.shape[1]):
+        return _pkm().horner_eval(spec, coeffs_mont, xs_full)
     out = jnp.zeros_like(xs_full)
     for i in range(coeffs_mont.shape[1] - 1, -1, -1):
         c = jnp.broadcast_to(coeffs_mont[:, i : i + 1], xs_full.shape)
@@ -80,6 +119,8 @@ def horner_eval(spec: FieldSpec, coeffs_mont, xs_full):
 
 def vanishing_eval(spec: FieldSpec, xs_full, points_mont):
     """Zb(x) = prod_i (x - x_i). points_mont: (L, n_points)."""
+    if _pk(xs_full.shape[1]):
+        return _pkm().vanishing_eval(spec, xs_full, points_mont)
     acc = jnp.broadcast_to(mm.mont_one(spec), xs_full.shape)
     for i in range(points_mont.shape[1]):
         xi = jnp.broadcast_to(points_mont[:, i : i + 1], xs_full.shape)
@@ -94,6 +135,10 @@ def linear_combination(
          + k7*B3 + k8*B3*x^steps + k9*A + k10*S  (prove.rs:293-322).
 
     k_mont: (L, 11) Montgomery Fiat-Shamir coefficients."""
+    if _pk(s_ev.shape[1]):
+        return _pkm().linear_combination(
+            spec, k_mont, x_to_steps, p_ev, a_ev, s_ev, d1, d2, d3, b2, b3
+        )
     shape = s_ev.shape
     km = [jnp.broadcast_to(k_mont[:, i : i + 1], shape) for i in range(11)]
     terms = [
