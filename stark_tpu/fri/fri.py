@@ -46,6 +46,14 @@ def _canonical_bytes(spec: FieldSpec, values_mont) -> np.ndarray:
     return mm.limbs_to_bytes_le_np(np.asarray(mm.from_mont(spec, values_mont)), spec)
 
 
+def _value_words(spec: FieldSpec, values_mont):
+    """Montgomery (L, n) -> (16, n) device words of the canonical 32-byte
+    little-endian encodings (zero block padding), all on device."""
+    from stark_tpu.protocol.core import _words_best
+
+    return _words_best(spec, [values_mont])
+
+
 def _fold_xsets(arr, quarter: int):
     """(L, N) -> (L, quarter, 4) with [:, i, j] = arr[:, i + quarter*j]."""
     L = arr.shape[0]
@@ -80,21 +88,39 @@ def prove_low_degree(
             proof.append(FriLast([leaves[i].tobytes() for i in range(n)]))
             return proof
 
-        leaves = _canonical_bytes(spec, values)
-        m_tree = mt.commit_np(leaves)
+        m_tree = mt.commit_words(_value_words(spec, values), 32)
         special_x = spec.from_bytes_le(m_tree.root)  # fri.rs:135
         sx = mm.mont_consts(spec, [special_x])[:, :, None]  # (L, 1, 1)
 
         quarter = n // 4
-        xsets = _fold_xsets(xs, quarter)
-        ysets = _fold_xsets(values, quarter)
-        polys = quartic.multi_interp_4(spec, xsets, ysets)
-        column = quartic.eval_quartic_batch(
-            spec, polys, jnp.broadcast_to(sx[:, :, 0], (sx.shape[0], quarter))
-        )
+        from stark_tpu.protocol.kernels import _pk
 
-        col_leaves = _canonical_bytes(spec, column)
-        m2_tree = mt.commit_np(col_leaves)
+        # pallas fold only for the big rounds: each distinct round size
+        # compiles its own kernels (no effective cross-process compile
+        # cache on the remote backend), and sub-2^14 rounds are already
+        # sub-5ms on the XLA path
+        if _pk(quarter) and quarter >= (1 << 14):
+            # fused Pallas fold: eq cubics + denominators, one shared batch
+            # inversion, then combine+evaluate at special_x in one pass
+            from stark_tpu.protocol import pallas_kernels as pkm
+
+            L = values.shape[0]
+            xs4 = xs.reshape(L, 4, quarter)
+            ys4 = values.reshape(L, 4, quarter)
+            eqs, dens = pkm.fri_fold_pre(spec, xs4)
+            invs = mm.multi_inv(spec, dens.reshape(L, 4 * quarter)).reshape(
+                L, 4, quarter
+            )
+            column = pkm.fri_fold_post(spec, sx[:, :, 0], eqs, ys4, invs)
+        else:
+            xsets = _fold_xsets(xs, quarter)
+            ysets = _fold_xsets(values, quarter)
+            polys = quartic.multi_interp_4(spec, xsets, ysets)
+            column = quartic.eval_quartic_batch(
+                spec, polys, jnp.broadcast_to(sx[:, :, 0], (sx.shape[0], quarter))
+            )
+
+        m2_tree = mt.commit_words(_value_words(spec, column), 32)
         ys = ts.get_pseudorandom_indices(
             m2_tree.root, quarter, QUERIES_PER_ROUND, exclude_multiples_of
         )

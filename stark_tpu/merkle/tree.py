@@ -114,6 +114,75 @@ def commit(leaves: list[bytes], digest: str = "blake2s") -> MerkleTree:
     return commit_np(arr, digest)
 
 
+class DeviceMerkleTree:
+    """Blake2s tree whose leaves and digest layers stay ON DEVICE.
+
+    The host only ever sees the 32-byte root (one tiny transfer per commit
+    -- each host sync through the remote-TPU transport costs ~a second once
+    work is queued, so the per-layer `np.asarray` of the numpy tree made
+    committing dominate the prover) and, at proof time, the few hundred
+    queried leaves/siblings via device gathers."""
+
+    def __init__(self, leaf_words, leaf_bytes: int, layers):
+        self.leaf_words = leaf_words  # (W, N) uint32 LE words of the leaves
+        self.leaf_bytes = leaf_bytes
+        self.layers = layers  # device (8, n_i) digest words, n_i halving
+        self._root = None
+
+    @property
+    def width(self) -> int:
+        return self.leaf_words.shape[1]
+
+    @property
+    def root(self) -> bytes:
+        if self._root is None:
+            self._root = (
+                np.asarray(self.layers[-1][:, 0]).astype("<u4").tobytes()
+            )
+        return self._root
+
+    def gen_proofs(self, indices) -> list[MerkleProof]:
+        """Sibling walk per index; all gathers on device, TWO host
+        transfers total (leaves + all sibling layers concatenated)."""
+        idx = np.asarray([int(i) for i in indices], dtype=np.int64)
+        k = len(idx)
+        leaf_cols = np.asarray(self.leaf_words[:, idx]).astype("<u4")  # (W, k)
+        gathered = []
+        t = idx.copy()
+        for layer in self.layers[:-1]:
+            gathered.append(layer[:, jnp.asarray(t ^ 1)])
+            t //= 2
+        depth = len(gathered)
+        if depth:
+            allsibs = np.asarray(jnp.concatenate(gathered, axis=1)).astype(
+                "<u4"
+            )  # (8, depth*k)
+        proofs = []
+        for j in range(k):
+            leaf = leaf_cols[:, j].tobytes()[: self.leaf_bytes]
+            nodes = [
+                allsibs[:, d * k + j].tobytes() for d in range(depth)
+            ]
+            proofs.append(MerkleProof(leaf, nodes))
+        return proofs
+
+
+def commit_words(leaf_words, leaf_bytes: int) -> DeviceMerkleTree:
+    """Build a blake2s tree from (W, N) device leaf words (W = 16*nblocks,
+    zero-padded), keeping every layer on device."""
+    n = leaf_words.shape[1]
+    assert n & (n - 1) == 0, "power-of-two leaf count required"
+    h = b2.blake2s_words_best(leaf_words, leaf_bytes)  # (8, N)
+    layers = [h]
+    while h.shape[1] > 1:
+        m = h.shape[1] // 2
+        pair = h.reshape(8, m, 2)
+        msg = jnp.concatenate([pair[:, :, 0], pair[:, :, 1]], axis=0)
+        h = b2.blake2s_words_best(msg, 64)
+        layers.append(h)
+    return DeviceMerkleTree(leaf_words, leaf_bytes, layers)
+
+
 def _host_digest(digest: str):
     if digest == "blake2s":
         return blake

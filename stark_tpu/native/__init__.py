@@ -251,3 +251,39 @@ def arithmetize_flat(
         last_coeff_list=last,
         public_first_indices=pub_pairs,
     )
+
+
+def flat_from_contents(r1cs) -> FlatR1cs:
+    """Convert a parsed `R1csContents` (dataclass tree) to the flat-array
+    form, so in-memory circuits (synthetic benches, tests) can use the
+    native arithmetizer too."""
+    h = r1cs.header
+    ncoeffs = np.zeros((h.n_constraints, 3), np.uint32)
+    wire_ids = []
+    values = []
+    for ci, cons in enumerate(r1cs.constraints):
+        for fi, fac in enumerate(cons.factors):
+            ncoeffs[ci, fi] = fac.n_coefficient
+            for co in fac.coefficients:
+                wire_ids.append(co.wire_id)
+                values.append(co.value)
+    wire_arr = np.asarray(wire_ids, np.uint32)
+    val_arr = (
+        np.frombuffer(b"".join(values), np.uint8).reshape(len(values), 32).copy()
+        if values
+        else np.zeros((0, 32), np.uint8)
+    )
+    return FlatR1cs(
+        version=r1cs.version,
+        field_size=h.field_size,
+        prime_number=h.prime_number,
+        n_wires=h.n_wires,
+        n_public_outputs=h.n_public_outputs,
+        n_public_inputs=h.n_public_inputs,
+        n_private_inputs=h.n_private_inputs,
+        n_labels=h.n_labels,
+        n_constraints=h.n_constraints,
+        ncoeffs=ncoeffs,
+        wire_ids=wire_arr,
+        values=val_arr,
+    )

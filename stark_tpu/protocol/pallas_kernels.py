@@ -23,7 +23,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stark_tpu.fields.field import FieldSpec
+from stark_tpu.fields.field import FieldSpec, int_to_limbs
 from stark_tpu.ops import pallas_field as pf
 
 TILE = pf.TILE
@@ -281,3 +281,112 @@ def from_mont_pack_words(spec: FieldSpec, col):
         out_specs=pl.BlockSpec((L // 2, t), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(col)
+
+
+# --- FRI quartic fold (fri.rs:141-164 / poly_utils.rs:449-511) -------------
+#
+# Row layout (L, 4, q): row j holds the j-th x-set member for all q rows
+# (xs.reshape(L, 4, q) of the flat domain -- x_j[i] = xs[j*q + i]).
+# Two kernels around the shared batch inversion: `fri_fold_pre` builds the
+# four vanishing cubics eq_j and their denominators e_j = eq_j(x_j);
+# `fri_fold_post` combines with y/inverses and evaluates the folded column
+# at special_x directly (the interpolated cubic is never materialized).
+
+
+def _fri_pre_kernel(spec, xs_ref, eq_ref, den_ref):
+    x = [pf._rows(xs_ref[:, j, :]) for j in range(4)]
+    L = spec.num_limbs
+    shape = (L, xs_ref.shape[2])
+    zero = pf._rows(jnp.zeros(shape, jnp.uint32))
+    neg = lambda a: pf._sub_rows(spec, zero, a)
+    xp = {}
+    for a, b in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
+        xp[(a, b)] = _mul(spec, x[a], x[b])
+    others = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+    for j, (a, b, c) in enumerate(others):
+        xab, xac, xbc = xp[(a, b)], xp[(a, c)], xp[(b, c)]
+        c0 = neg(_mul(spec, xab, x[c]))
+        c1 = pf._add_rows(spec, pf._add_rows(spec, xab, xac), xbc)
+        c2 = neg(pf._add_rows(spec, pf._add_rows(spec, x[a], x[b]), x[c]))
+        eq_ref[:, 4 * j + 0, :] = jnp.stack(c0, axis=0)
+        eq_ref[:, 4 * j + 1, :] = jnp.stack(c1, axis=0)
+        eq_ref[:, 4 * j + 2, :] = jnp.stack(c2, axis=0)
+        # c3 = Montgomery one
+        one_rows = [
+            jnp.full(shape[1:], np.uint32(w), jnp.uint32)
+            for w in int_to_limbs(spec.r_mod_p, L)
+        ]
+        eq_ref[:, 4 * j + 3, :] = jnp.stack(one_rows, axis=0)
+        # denominator e_j = eq_j(x_j) with leading coeff 1:
+        # ((x + c2)*x + c1)*x + c0
+        xj = x[j]
+        acc = pf._add_rows(spec, xj, c2)
+        acc = pf._add_rows(spec, _mul(spec, acc, xj), c1)
+        acc = pf._add_rows(spec, _mul(spec, acc, xj), c0)
+        den_ref[:, j, :] = jnp.stack(acc, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def fri_fold_pre(spec: FieldSpec, xs4):
+    """xs4: (L, 4, q) -> (eqs (L, 16, q), denoms (L, 4, q))."""
+    L, _, q = xs4.shape
+    t = TILE if q % TILE == 0 else q
+    return pl.pallas_call(
+        functools.partial(_fri_pre_kernel, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, 16, q), jnp.uint32),
+            jax.ShapeDtypeStruct((L, 4, q), jnp.uint32),
+        ),
+        grid=(q // t,),
+        in_specs=[
+            pl.BlockSpec((L, 4, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((L, 16, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(xs4)
+
+
+def _fri_post_kernel(spec, sx_ref, eq_ref, ys_ref, inv_ref, o_ref):
+    L = spec.num_limbs
+    q = ys_ref.shape[2]
+    shape = (L, q)
+    poly = [None] * 4
+    for j in range(4):
+        w = _mul(
+            spec,
+            pf._rows(ys_ref[:, j, :]),
+            pf._rows(inv_ref[:, j, :]),
+        )
+        for k in range(4):
+            term = _mul(spec, pf._rows(eq_ref[:, 4 * j + k, :]), w)
+            poly[k] = term if poly[k] is None else pf._add_rows(spec, poly[k], term)
+    sx = pf._rows(jnp.broadcast_to(sx_ref[:, 0:1], shape))
+    # Horner at special_x
+    acc = poly[3]
+    for k in (2, 1, 0):
+        acc = pf._add_rows(spec, _mul(spec, acc, sx), poly[k])
+    o_ref[:] = jnp.stack(acc, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def fri_fold_post(spec: FieldSpec, sx, eqs, ys4, invs):
+    """Fold to the FRI column: (L,1) special_x, (L,16,q) eqs, (L,4,q) ys,
+    (L,4,q) inverted denominators -> (L, q) column values."""
+    L, _, q = ys4.shape
+    t = TILE if q % TILE == 0 else q
+    return pl.pallas_call(
+        functools.partial(_fri_post_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct((L, q), jnp.uint32),
+        grid=(q // t,),
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 16, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(sx, eqs, ys4, invs)

@@ -94,9 +94,10 @@ def _canon_bytes(spec, mont_arr) -> np.ndarray:
 
 def _check_zero_at_stride(spec, q_evals, skips, what):
     """Reference divisibility asserts (`utils.rs:379-418`): Q must vanish
-    wherever Z does (every skips-th position)."""
-    sub = np.asarray(q_evals[:, ::skips])
-    if sub.any():
+    wherever Z does (every skips-th position). Device reduce, one scalar
+    transfer."""
+    bad = np.asarray(jnp.any(q_evals[:, ::skips] != 0))
+    if bad:
         raise AssertionError(f"invalid {what}: quotient not divisible by Z")
 
 
@@ -166,12 +167,19 @@ def mk_r1cs_proof(
 
     # --- accumulator commitment + randomness (utils.rs:250-290) ---
     with phase("a_tree"):
-        s_bytes = _canon_bytes(spec, s_small)
-        perm_np = np.asarray(permuted, dtype="<u8")
-        a_leaves = np.concatenate(
-            [perm_np.view(np.uint8).reshape(steps, 8), s_bytes], axis=1
-        )  # (steps, 40): perm_idx (8B LE usize) || S value (32B LE)
-        a_root = mt.commit_np(a_leaves).root
+        # leaf = perm_idx (8B LE usize) || S value (32B LE), built as device
+        # words so the whole tree stays on device (utils.rs:250-270)
+        perm_np = np.asarray(permuted, dtype=np.uint64)
+        perm_lo = jnp.asarray((perm_np & 0xFFFFFFFF).astype(np.uint32))[None]
+        perm_hi = jnp.asarray((perm_np >> 32).astype(np.uint32))[None]
+        from stark_tpu.protocol.core import _words_best
+
+        s_words = _words_best(spec, [s_small])[:8]  # (8, steps)
+        a_words = jnp.concatenate(
+            [perm_lo, perm_hi, s_words, jnp.zeros((6, steps), jnp.uint32)],
+            axis=0,
+        )  # (16, steps): one 64-byte block per 40-byte leaf
+        a_root = mt.commit_words(a_words, 40).root
     r = ts.get_random_ff_values(spec, a_root, precision, 3, 0)
 
     # --- permutation accumulator A (utils.rs:293-339), batched scans ---
@@ -221,10 +229,10 @@ def mk_r1cs_proof(
 
     # --- m-tree: 256-byte leaves P||A||S||D1||D2||D3||B2||B3 (prove.rs:235) ---
     with phase("m_tree"):
+        from stark_tpu.protocol.core import _words_best
+
         cols = [p_ev, a_ev, s_ev, d1, d2, d3, b2, b3]
-        col_bytes = [_canon_bytes(spec, cv) for cv in cols]
-        m_leaves = np.concatenate(col_bytes, axis=1)
-        m_tree = mt.commit_np(m_leaves)
+        m_tree = mt.commit_words(_words_best(spec, cols), 256)
         m_root = m_tree.root
 
     # --- random linear combination L (prove.rs:274-322) ---
@@ -239,7 +247,9 @@ def mk_r1cs_proof(
     )
 
     with phase("l_tree"):
-        l_tree = mt.commit_np(_canon_bytes(spec, l_ev))
+        from stark_tpu.protocol.core import _words_best
+
+        l_tree = mt.commit_words(_words_best(spec, [l_ev]), 32)
         l_root = l_tree.root
 
     # --- spot checks (prove.rs:337-362) ---

@@ -43,15 +43,25 @@ def _spec_for(r1cs: R1csContents) -> FieldSpec:
 def prove_with_witness(r1cs: R1csContents, witness_bytes: list[bytes]):
     spec = _spec_for(r1cs)
     h = r1cs.header
-    witness = [spec.from_bytes_le(w) for w in witness_bytes]
-    assert witness[0] == 1, "witness[0] must be 1"  # run.rs:358
     n_pub = 1 + h.n_public_inputs + h.n_public_outputs
-    public_wires = witness[:n_pub]
+    public_wires = [spec.from_bytes_le(w) for w in witness_bytes[:n_pub]]
+    assert (
+        spec.from_bytes_le(witness_bytes[0]) == 1
+    ), "witness[0] must be 1"  # run.rs:358
 
     with phase("arithmetize"):
-        arith = arithmetize(
-            spec, r1cs.constraints, witness, h.n_wires, len(public_wires)
-        )
+        if _use_native():
+            # C++ arithmetizer; numpy columns flow straight to the device
+            flat = native.flat_from_contents(r1cs)
+            wit_np = np.zeros((h.n_wires, 32), np.uint8)
+            for i, wb in enumerate(witness_bytes):
+                wit_np[i, : len(wb)] = np.frombuffer(wb[:32], np.uint8)
+            arith = _arith_native(spec, flat, wit_np, n_pub)
+        else:
+            witness = [spec.from_bytes_le(w) for w in witness_bytes]
+            arith = arithmetize(
+                spec, r1cs.constraints, witness, h.n_wires, len(public_wires)
+            )
     return mk_r1cs_proof(spec, arith, public_wires, h.n_constraints, h.n_wires)
 
 
