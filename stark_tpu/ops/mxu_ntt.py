@@ -1,0 +1,162 @@
+"""Four-step NTT on the MXU via CRT modular matmuls.
+
+``DFT_n`` with ``n = n1*n2`` (j = j1*n2 + j2, k = k1 + n1*k2):
+
+    A1[k1, j2] = sum_j1 W1[k1, j1] * x[j1, j2]      W1 = (w^n2)^(k1*j1)
+    A2[k1, j2] = A1[k1, j2] * T[k1, j2]             T  = w^(k1*j2)
+    X[k1, k2]  = sum_j2 W2[k2, j2] * A2[k1, j2]     W2 = (w^n1)^(k2*j2)
+
+Both sums are :func:`stark_tpu.ops.crt.crt_matmul` calls (step B takes T as
+a residue-space pre-table); the output laid out as (k2, k1) reshapes
+directly to the natural-order flat DFT — no bit reversals anywhere.
+
+Compared to the Pallas butterfly path (`stark_tpu/ops/pallas_field.py`),
+which is capped by ~9-op emulated 32-bit VPU multiplies, the O(n^1.5) DFT
+matmuls run as exact bf16/f32 MXU contractions. This mirrors the role of
+the reference's `parallel_fft` (`/root/reference/packages/fri/src/fft.rs:
+195-251`) as the "big transform" engine.
+
+The LDE (`inv_best_fft` -> zero-pad -> `best_fft`, `prove.rs:100-169`)
+becomes: small four-step iNTT (scale n^-1 folded into its W2) -> natural-
+order coefficients -> reshape (nz1, n2) of the zero-padded vector is just
+the coefficient array itself -> big NTT whose step A contracts only the
+nz1 = steps/n2 nonzero rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from stark_tpu.fields.field import FieldSpec
+from stark_tpu.ops import crt
+
+import jax as _jax
+
+
+def _pow_matrix(base: int, rows: int, cols: int, p: int, scale: int = 1):
+    """[[scale * base^(r*c) mod p]] as a list of row lists (python ints)."""
+    out = []
+    cur_row_base = 1  # base^r
+    for _ in range(rows):
+        row = []
+        v = scale % p
+        for _ in range(cols):
+            row.append(v)
+            v = v * cur_row_base % p
+        out.append(row)
+        cur_row_base = cur_row_base * base % p
+    return out
+
+
+def _twiddle_residues(w: int, n1: int, n2: int, p: int, qs) -> np.ndarray:
+    """T[k1, j2] = w^(k1*j2) laid out as (P+1, j2, k1) residues u16 (the
+    step-B pre-table: data arrives transposed as (n2, n1))."""
+    flat = []
+    wk1 = 1
+    for _ in range(n1):
+        v = 1
+        row = []
+        for _ in range(n2):
+            row.append(v)
+            v = v * wk1 % p
+        flat.extend(row)
+        wk1 = wk1 * w % p
+    by = crt.ints_to_bytes_np(flat)
+    res = crt.residues_of_ints_np(by, qs)  # (P+1, n1*n2)
+    res = res.reshape(len(qs), n1, n2).transpose(0, 2, 1)
+    return np.ascontiguousarray(res.astype(np.uint16))
+
+
+class MxuNttPlan:
+    """Tables for one (root, n, n1, n2[, scale, nz1]) transform. Pytree."""
+
+    def __init__(
+        self,
+        spec: FieldSpec,
+        root: int,
+        n: int,
+        n1: int | None = None,
+        n2: int | None = None,
+        scale: int = 1,
+        nz1: int | None = None,
+    ):
+        p = spec.p
+        if n1 is None:
+            logn = n.bit_length() - 1
+            n1 = 1 << ((logn + 1) // 2)
+            n2 = n // n1
+        assert n1 * n2 == n and max(n1, n2) <= 1024, (
+            "f32 accumulation is exact only for contractions <= 1024"
+        )
+        self.n, self.n1, self.n2 = n, n1, n2
+        self.nz1 = nz1 if nz1 is not None else n1
+        assert self.nz1 <= n1
+        w1 = pow(root, n2, p)
+        w2 = pow(root, n1, p)
+        bits_a = (self.nz1 - 1).bit_length() + 2 * p.bit_length() + 2
+        bits_b = (n2 - 1).bit_length() + 3 * p.bit_length() + 2
+        self.basis_a = crt.CrtBasis(spec, bits_a)
+        self.basis_b = crt.CrtBasis(spec, bits_b)
+        wa = _pow_matrix(w1, n1, self.nz1, p)  # W1[k1, j1], j1 < nz1
+        self.plan_a = crt.CrtMatmulPlan(self.basis_a, wa)
+        wb = _pow_matrix(w2, n2, n2, p, scale=scale)  # W2[k2, j2] * scale
+        self.plan_b = crt.CrtMatmulPlan(self.basis_b, wb)
+        self.twiddle = jnp.asarray(
+            _twiddle_residues(root, n1, n2, p, self.basis_b.qs_host)
+        )
+
+
+def _mxuplan_flatten(pl: MxuNttPlan):
+    return (
+        (pl.basis_a, pl.basis_b, pl.plan_a, pl.plan_b, pl.twiddle),
+        (pl.n, pl.n1, pl.n2, pl.nz1),
+    )
+
+
+def _mxuplan_unflatten(aux, leaves):
+    pl = object.__new__(MxuNttPlan)
+    pl.basis_a, pl.basis_b, pl.plan_a, pl.plan_b, pl.twiddle = leaves
+    pl.n, pl.n1, pl.n2, pl.nz1 = aux
+    return pl
+
+
+_jax.tree_util.register_pytree_node(MxuNttPlan, _mxuplan_flatten, _mxuplan_unflatten)
+
+
+def ntt_mxu(plan: MxuNttPlan, x):
+    """Natural-order DFT of (L, m) canonical/Montgomery limb planes, where
+    m = nz1*n2 (m = n without zero-padding structure). Returns (L, n)."""
+    L = x.shape[0]
+    xv = x.reshape(L, plan.nz1, plan.n2)
+    a1 = crt.crt_matmul(plan.basis_a, plan.plan_a, xv)  # (L, n1, n2)
+    a1t = jnp.swapaxes(a1, 1, 2)  # (L, n2, n1)
+    out = crt.crt_matmul(
+        plan.basis_b, plan.plan_b, a1t, pre=plan.twiddle.astype(jnp.uint32)
+    )  # (L, n2out, n1) = X[k2, k1]
+    return out.reshape(L, plan.n)
+
+
+def make_lde_plans(spec: FieldSpec, g1: int, g2: int, steps: int, precision: int):
+    """(iNTT plan at g1^-1 with n^-1 scale, big NTT plan at g2 with
+    zero-structure) mirroring `prove.rs:100-169`'s LDE pairs."""
+    p = spec.p
+    inv_plan = MxuNttPlan(
+        spec, pow(spec.inv(g1), 1, p), steps, scale=spec.inv(steps)
+    )
+    logp = precision.bit_length() - 1
+    n1 = 1 << ((logp + 1) // 2)
+    n2 = precision // n1
+    big_plan = MxuNttPlan(
+        spec, g2, precision, n1=n1, n2=n2, nz1=steps // n2
+    )
+    return inv_plan, big_plan
+
+
+def lde_mxu(inv_plan: MxuNttPlan, big_plan: MxuNttPlan, trace):
+    """(L, steps) -> (L, precision) low-degree extension, all on the MXU.
+    The zero-pad between the transforms is a pure reshape: coefficients are
+    natural-order, so the padded (n1, n2) view's nonzero rows are exactly
+    the coefficient array."""
+    coeffs = ntt_mxu(inv_plan, trace)  # natural-order coefficients * n^-1
+    return ntt_mxu(big_plan, coeffs)

@@ -1,0 +1,145 @@
+"""CRT/MXU modular matmul: exactness against python bigints.
+
+Covers the riskiest machinery of stark_tpu.ops.crt: the redundant-lane wrap
+count, balanced-digit reconstruction, banded REDC matmuls, and the
+Montgomery-preserving pre-scaling. Runs on CPU (bf16 dots are exact for the
+digit magnitudes by construction)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stark_tpu.fields.field import BN254_FR as spec
+from stark_tpu.ops import crt
+
+P = spec.p
+R256 = 1 << 256
+
+
+def limbs_np(vals):
+    a = np.zeros((16, len(vals)), np.uint32)
+    for t, v in enumerate(vals):
+        for i in range(16):
+            a[i, t] = (v >> (16 * i)) & 0xFFFF
+    return a
+
+
+def ints_of(arr):
+    return [
+        sum(int(arr[i, t]) << (16 * i) for i in range(16))
+        for t in range(arr.shape[1])
+    ]
+
+
+def rand_field(rng, n):
+    return [int(rng.integers(0, 1 << 62)) ** 5 % P for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def basis():
+    # bound for K=8 matmul with pre-table: 8 * p^3 < 2^766
+    return crt.CrtBasis(spec, 770)
+
+
+def test_reduce_in_exact(basis):
+    rng = np.random.default_rng(0)
+    vals = rand_field(rng, 9)
+    r = np.asarray(basis.reduce_in(jnp.asarray(limbs_np(vals))))
+    for i, q in enumerate(basis.qs_host):
+        assert (r[i] == np.array([v % q for v in vals])).all()
+
+
+def test_reconstruct_exact(basis):
+    rng = np.random.default_rng(1)
+    vals = rand_field(rng, 7)
+    qs = np.array(basis.qs_host, np.int64)[:, None]
+    res = np.array(
+        [[v % q for v in vals] for q in basis.qs_host], np.int64
+    )
+    s = res.copy()
+    ts = np.array(basis.t_host + [1], np.int64)[:, None]
+    s = (s * ts) % qs
+    out = np.asarray(basis.reconstruct(jnp.asarray(s.astype(np.uint32))))
+    rinv = pow(R256, -1, P)
+    got = ints_of(out)
+    for g, v in zip(got, vals):
+        assert g == v * rinv % P
+
+
+def test_crt_matmul_exact(basis):
+    rng = np.random.default_rng(2)
+    kout, k, b = 5, 8, 6
+    w = [rand_field(rng, k) for _ in range(kout)]
+    plan = crt.CrtMatmulPlan(basis, w)
+    xs = [rand_field(rng, b) for _ in range(k)]
+    x = np.zeros((16, k, b), np.uint32)
+    for j in range(k):
+        x[:, j, :] = limbs_np(xs[j])
+    out = np.asarray(crt.crt_matmul(basis, plan, jnp.asarray(x)))
+    for kk in range(kout):
+        got = ints_of(out[:, kk, :])
+        for bb in range(b):
+            want = sum(w[kk][j] * xs[j][bb] for j in range(k)) % P
+            assert got[bb] == want
+
+
+def test_crt_matmul_with_pre_table(basis):
+    rng = np.random.default_rng(3)
+    kout, k, b = 4, 8, 3
+    w = [rand_field(rng, k) for _ in range(kout)]
+    tvals = [rand_field(rng, b) for _ in range(k)]
+    plan = crt.CrtMatmulPlan(basis, w)
+    pre = np.array(
+        [[[t % q for t in row] for row in tvals] for q in basis.qs_host],
+        np.uint32,
+    )
+    xs = [rand_field(rng, b) for _ in range(k)]
+    x = np.zeros((16, k, b), np.uint32)
+    for j in range(k):
+        x[:, j, :] = limbs_np(xs[j])
+    out = np.asarray(
+        crt.crt_matmul(basis, plan, jnp.asarray(x), pre=jnp.asarray(pre))
+    )
+    for kk in range(kout):
+        got = ints_of(out[:, kk, :])
+        for bb in range(b):
+            want = sum(w[kk][j] * tvals[j][bb] * xs[j][bb] for j in range(k)) % P
+            assert got[bb] == want
+
+
+def test_crt_matmul_jit_pytree(basis):
+    """Basis and plan pass through jit as pytree arguments."""
+    rng = np.random.default_rng(4)
+    k = 4
+    w = [rand_field(rng, k) for _ in range(k)]
+    plan = crt.CrtMatmulPlan(basis, w)
+    xs = [rand_field(rng, 2) for _ in range(k)]
+    x = np.zeros((16, k, 2), np.uint32)
+    for j in range(k):
+        x[:, j, :] = limbs_np(xs[j])
+    f = jax.jit(lambda bs, pl, xx: crt.crt_matmul(bs, pl, xx))
+    out = np.asarray(f(basis, plan, jnp.asarray(x)))
+    for kk in range(k):
+        got = ints_of(out[:, kk, :])
+        for bb in range(2):
+            want = sum(w[kk][j] * xs[j][bb] for j in range(k)) % P
+            assert got[bb] == want
+
+
+def test_montgomery_domain_preserved(basis):
+    """Montgomery-form inputs yield Montgomery-form outputs."""
+    rng = np.random.default_rng(5)
+    k = 4
+    w = [rand_field(rng, k) for _ in range(k)]
+    plan = crt.CrtMatmulPlan(basis, w)
+    xs = rand_field(rng, k)
+    xm = [v * (R256 % P) % P for v in xs]  # Montgomery form (R = 2^256)
+    x = np.zeros((16, k, 1), np.uint32)
+    for j in range(k):
+        x[:, j, :] = limbs_np([xm[j]])
+    out = np.asarray(crt.crt_matmul(basis, plan, jnp.asarray(x)))
+    for kk in range(k):
+        got = ints_of(out[:, kk, :])[0]
+        want = sum(w[kk][j] * xs[j] for j in range(k)) % P
+        assert got == want * (R256 % P) % P
