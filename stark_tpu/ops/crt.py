@@ -295,12 +295,33 @@ class CrtBasis:
         return x_u32
 
 
+_LANE_BLOCK = 1024
+
+
 def _dot(a, b):
+    """(m, K) @ (K, N) -> (m, N) f32, exact.
+
+    Wide-N 2D dots are reshaped into N/1024 batched (m, K) @ (K, 1024)
+    matmuls: the axon backend executes prime-batched 3D dots at full MXU
+    rate but has been observed to wedge indefinitely on 2D dots with a very
+    wide trailing dimension (>= 16384). The small lhs is broadcast across
+    the batch (a few MB)."""
     dt = _mat_dtype()
-    return jax.lax.dot_general(
-        a.astype(dt), b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    a = a.astype(dt)
+    m, K = a.shape
+    N = b.shape[1]
+    if N <= _LANE_BLOCK:
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    assert N % _LANE_BLOCK == 0, (m, K, N)
+    nb = N // _LANE_BLOCK
+    bv = jnp.swapaxes(b.reshape(K, nb, _LANE_BLOCK), 0, 1)  # (nb, K, 1024)
+    av = jnp.broadcast_to(a, (nb, m, K))
+    out = jax.lax.dot_general(
+        av, bv, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (nb, m, 1024)
+    return jnp.swapaxes(out, 0, 1).reshape(m, N)
 
 
 def _carry_digits(cols_i32, n_out: int, trunc: bool = False):
@@ -369,7 +390,13 @@ def residues_of_ints_np(vals_bytes: np.ndarray, qs) -> np.ndarray:
         [[pow(256, l, int(q)) for l in range(32)] for q in np.asarray(qs)],
         np.int64,
     )
-    return (pow256 @ vals_bytes.astype(np.int64)) % qa
+    # f64 matmul hits BLAS (int64 matmul does not) and is exact here:
+    # values <= 32 * 255 * 2^14 < 2^27 << 2^53; the mod runs as exact f64
+    # floor-division (i64 elementwise % is several seconds at 2^20)
+    acc = pow256.astype(np.float64) @ vals_bytes.astype(np.float64)
+    qf = qa.astype(np.float64)
+    acc -= np.floor(acc / qf) * qf
+    return acc.astype(np.int64)
 
 
 def ints_to_bytes_np(vals) -> np.ndarray:
@@ -391,11 +418,14 @@ class CrtMatmulPlan:
         flat = [int(w) * scale % p for row in w_ints for w in row]
         by = ints_to_bytes_np(flat)
         res = residues_of_ints_np(by, basis.qs_host)  # (P+1, Kout*K)
-        ts = np.array(basis.t_host + [1], np.int64)[:, None]
-        qa = np.array(basis.qs_host, np.int64)[:, None]
-        res = (res * ts) % qa
-        rb = np.where(res > qa // 2, res - qa, res)
-        c0 = ((rb + 64) % 128) - 64
+        # t-scale + balance + chunk in exact f64 / i32 (i64 elementwise is
+        # the table-build bottleneck at 2^20 matrix entries)
+        ts = np.array(basis.t_host + [1], np.float64)[:, None]
+        qf = np.array(basis.qs_host, np.float64)[:, None]
+        rf = res.astype(np.float64) * ts  # < 2^28, exact
+        rf -= np.floor(rf / qf) * qf
+        rb = np.where(rf > qf // 2, rf - qf, rf).astype(np.int32)
+        c0 = ((rb + 64) & 127) - 64
         c1 = (rb - c0) >> 7
         assert np.abs(c1).max() < 64
         sh = (len(basis.qs_host), Kout, K)

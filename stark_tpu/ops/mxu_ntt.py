@@ -160,3 +160,10 @@ def lde_mxu(inv_plan: MxuNttPlan, big_plan: MxuNttPlan, trace):
     the coefficient array."""
     coeffs = ntt_mxu(inv_plan, trace)  # natural-order coefficients * n^-1
     return ntt_mxu(big_plan, coeffs)
+
+
+def lde_mxu_many(inv_plan: MxuNttPlan, big_plan: MxuNttPlan, traces):
+    """LDE a list of (L, steps) columns inside one traced computation (one
+    dispatch; XLA schedules the columns sequentially, so peak memory stays
+    at the single-column working set)."""
+    return [lde_mxu(inv_plan, big_plan, t) for t in traces]

@@ -136,8 +136,30 @@ def build_staged_prover(
     # is paid once per column instead of once per butterfly stage. The plan
     # is a pytree ARGUMENT: closed over, its tables would be baked into the
     # module as multi-MB constants and overflow the compile transport.
-    lde_base = jax.jit(lambda t, pl: nttm.lde(spec, t, pl))
-    lde_j = lambda t: lde_base(t, lde_plan)
+    #
+    # STARK_TPU_MXU=1 swaps in the CRT four-step matmul LDE (ops/mxu_ntt):
+    # both transforms become MXU contractions instead of VPU butterflies.
+    import os as _os
+
+    _mxu_env = _os.environ.get("STARK_TPU_MXU", "0")
+    use_mxu = precision <= 1 << 20 and (
+        _mxu_env == "force" or (_mxu_env == "1" and steps >= 1 << 12)
+    )
+    if use_mxu:
+        from stark_tpu.ops import mxu_ntt
+
+        inv_plan, big_plan = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
+        lde_base = jax.jit(lambda t, ip, bp: mxu_ntt.lde_mxu(ip, bp, t))
+        lde_j = lambda t: lde_base(t, inv_plan, big_plan)
+        # all 9 columns in ONE dispatch (sequentially scheduled by XLA)
+        lde_many_base = jax.jit(
+            lambda ts, ip, bp: mxu_ntt.lde_mxu_many(ip, bp, ts)
+        )
+        lde_many = lambda ts: lde_many_base(ts, inv_plan, big_plan)
+    else:
+        lde_base = jax.jit(lambda t, pl: nttm.lde(spec, t, pl))
+        lde_j = lambda t: lde_base(t, lde_plan)
+        lde_many = None
 
     @jax.jit
     def acc_j(traces, r_mont):
@@ -189,10 +211,17 @@ def build_staged_prover(
     root_m_j = jax.jit(lambda w: merkle_root_local(w, 256))
     root_l_j = jax.jit(lambda w: merkle_root_local(w, 32))
 
+    names = ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")
+
     def run(traces, r_mont, k_mont, i2_mont, pubx_mont):
-        evs = {name: lde_j(traces[name]) for name in
-               ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")}
-        a_ev = lde_j(acc_j(traces, r_mont))
+        a_mini = acc_j(traces, r_mont)
+        if lde_many is not None:
+            outs = lde_many([traces[n] for n in names] + [a_mini])
+            evs = dict(zip(names, outs[:8]))
+            a_ev = outs[8]
+        else:
+            evs = {name: lde_j(traces[name]) for name in names}
+            a_ev = lde_j(a_mini)
         m_words, l_words, l_ev = rest(
             evs, a_ev, r_mont, k_mont, i2_mont, pubx_mont, dom
         )
