@@ -53,7 +53,12 @@ ND = 35  # base-256 digits in the reconstruction sum (bound < 2^(8*35))
 @functools.lru_cache(maxsize=1)
 def _mat_dtype():
     """bf16 on TPU (MXU-native; all digit values <= 255 are exact), f32 on
-    CPU (XLA-CPU has no bf16 dot kernel; f32 is equally exact here)."""
+    CPU (XLA-CPU has no bf16 dot kernel; f32 is equally exact here).
+    STARK_TPU_CRT_F32=1 forces f32 everywhere (debugging)."""
+    import os
+
+    if os.environ.get("STARK_TPU_CRT_F32", "0") == "1":
+        return jnp.float32
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
@@ -248,51 +253,82 @@ class CrtBasis:
 
     def reconstruct(self, s_u32):
         """(P+1, N) residues of X (< M; last row plain mod q_r) ->
-        (16, N) u32 canonical limbs of X * R^-1 mod p."""
-        P = self.P
-        s0 = (s_u32 & 127).astype(_mat_dtype())
-        s1 = (s_u32 >> 7).astype(_mat_dtype())
-        D0 = _dot(self.G, s0[:P])  # (ND+2, N) f32, exact
-        D1 = _dot(self.G, s1[:P])
-        # wrap count k via the redundant lane
-        g0s0 = D0[ND].astype(jnp.int32)
-        g1s0 = D0[ND + 1].astype(jnp.int32)
-        g0s1 = D1[ND].astype(jnp.int32)
-        g1s1 = D1[ND + 1].astype(jnp.int32)
-        ssum = g0s0 + ((g1s0 + g0s1) << 7) + self.delta_r * g1s1
-        kr = ssum - s_u32[P].astype(jnp.int32)
-        kraw = (kr + (1 << 16) * self.qr).astype(jnp.uint32)
-        kred = self._fold_r(kraw, 31)
-        k = self._fold_r(kred * np.uint32(self.minv_qr), 28)
-        # digit sum: cols = G@s0 + 128*(G@s1) + k*digits(-M mod p)
-        Dk = _dot(self.negM_dig, k.astype(_mat_dtype())[None, :])
-        cols = (
-            D0[:ND].astype(jnp.int32)
-            + (D1[:ND].astype(jnp.int32) << 7)
-            + Dk.astype(jnp.int32)
-        )
-        y = _carry_digits(cols, ND + 1)  # (ND+1, N) bytes of Y >= 0
-        # REDC: m = (Y mod R)*N' mod R; u = (Y + m*p) / R
-        m_cols = _dot(self.NB, y[:32].astype(_mat_dtype())).astype(jnp.int32)
-        m = _carry_digits(m_cols, 32, trunc=True)
-        u_cols = _dot(self.PB, m.astype(_mat_dtype())).astype(jnp.int32)
-        u_cols = u_cols.at[: ND + 1].add(y.astype(jnp.int32))
-        u = _carry_digits(u_cols, 66)
-        limbs = u[32:64:2].astype(jnp.uint32) + (
-            u[33:64:2].astype(jnp.uint32) << 8
-        )
-        return _cond_sub_p(limbs, self.p_limbs16)
+        (16, N) u32 canonical limbs of X * R^-1 mod p.
 
-    def _fold_r(self, x_u32, bound_bits):
-        dr = np.uint32(self.delta_r)
-        qr = np.uint32(self.qr)
-        b = bound_bits
-        while b >= 16:
-            x_u32 = (x_u32 >> QBITS) * dr + (x_u32 & (QBASE - 1))
-            b = max(b - QBITS + self.dmax_bits, QBITS) + 1
-        for _ in range(2):
-            x_u32 = jnp.where(x_u32 >= qr, x_u32 - qr, x_u32)
-        return x_u32
+        Dispatches to a fused Pallas kernel on TPU (the XLA path's ~130
+        sequential digit-carry steps are launch-bound there); the pure-XLA
+        body is the CPU/test path."""
+        from stark_tpu.ops import pallas_crt
+
+        if pallas_crt.use_pallas(s_u32.shape[1]):
+            return pallas_crt.reconstruct(self, s_u32)
+        return _reconstruct_math(
+            self._consts(), self.G, self.negM_dig, self.NB, self.PB,
+            s_u32, _dot,
+        )
+
+    def _consts(self):
+        return (
+            self.P, self.qr, self.delta_r, self.minv_qr, self.dmax_bits,
+            self.p_limbs16,
+        )
+
+
+def _fold_r_free(x_u32, bound_bits, qr_i, delta_r_i, dmax_bits):
+    dr = np.uint32(delta_r_i)
+    qr = np.uint32(qr_i)
+    b = bound_bits
+    while b >= 16:
+        x_u32 = (x_u32 >> QBITS) * dr + (x_u32 & (QBASE - 1))
+        b = max(b - QBITS + dmax_bits, QBITS) + 1
+    for _ in range(2):
+        x_u32 = jnp.where(x_u32 >= qr, x_u32 - qr, x_u32)
+    return x_u32
+
+
+def _reconstruct_math(consts, G, negM_dig, NB, PB, s_u32, dot):
+    """Shared reconstruction body (XLA and Pallas-kernel callers).
+    s_u32: (P+1, T); returns (16, T) canonical limbs of X*R^-1 mod p."""
+    P, qr_i, delta_r_i, minv_qr_i, dmax_bits, p_limbs16 = consts
+    dt = _mat_dtype()
+    s0 = (s_u32 & 127).astype(dt)
+    s1 = (s_u32 >> 7).astype(dt)
+    D0 = dot(G, s0[:P])  # (ND+2, T) f32, exact
+    D1 = dot(G, s1[:P])
+    # wrap count k via the redundant lane
+    g0s0 = D0[ND].astype(jnp.int32)
+    g1s0 = D0[ND + 1].astype(jnp.int32)
+    g0s1 = D1[ND].astype(jnp.int32)
+    g1s1 = D1[ND + 1].astype(jnp.int32)
+    ssum = g0s0 + ((g1s0 + g0s1) << 7) + delta_r_i * g1s1
+    kr = ssum - s_u32[P].astype(jnp.int32)
+    kraw = (kr + (1 << 16) * qr_i).astype(jnp.uint32)
+    kred = _fold_r_free(kraw, 31, qr_i, delta_r_i, dmax_bits)
+    k = _fold_r_free(
+        kred * np.uint32(minv_qr_i), 28, qr_i, delta_r_i, dmax_bits
+    )
+    # digit sum: cols = G@s0 + 128*(G@s1) + k*digits(-M mod p)
+    Dk = negM_dig.astype(jnp.int32) * k.astype(jnp.int32)[None, :]
+    cols = (
+        D0[:ND].astype(jnp.int32) + (D1[:ND].astype(jnp.int32) << 7) + Dk
+    )
+    y = _carry_digits(cols, ND + 1)  # (ND+1, T) bytes of Y >= 0
+    # REDC: m = (Y mod R)*N' mod R; u = (Y + m*p) / R
+    m_cols = dot(NB, y[:32].astype(dt)).astype(jnp.int32)
+    m = _carry_digits(m_cols, 32, trunc=True)
+    u_pb = dot(PB, m.astype(dt)).astype(jnp.int32)
+    y_pad = jnp.concatenate(
+        [
+            y.astype(jnp.int32),
+            jnp.zeros((u_pb.shape[0] - (ND + 1), y.shape[1]), jnp.int32),
+        ],
+        axis=0,
+    )
+    u = _carry_digits(u_pb + y_pad, 66)
+    limbs = u[32:64:2].astype(jnp.uint32) + (
+        u[33:64:2].astype(jnp.uint32) << 8
+    )
+    return _cond_sub_p(limbs, p_limbs16)
 
 
 _LANE_BLOCK = 1024
