@@ -127,6 +127,26 @@ def test_crt_matmul_jit_pytree(basis):
             assert got[bb] == want
 
 
+def test_reconstruct_pallas_interpret_matches_xla(basis, monkeypatch):
+    """The fused Pallas reconstruction kernel (interpret mode on CPU)
+    agrees with the XLA body."""
+    from stark_tpu.ops import pallas_crt
+
+    monkeypatch.setenv("STARK_TPU_PALLAS", "force")
+    rng = np.random.default_rng(11)
+    s = jnp.asarray(
+        rng.integers(0, 15300, (basis.P + 1, pallas_crt.TILE)).astype(np.uint32)
+    )
+    o_p = np.asarray(pallas_crt.reconstruct(basis, s))
+    o_x = np.asarray(
+        crt._reconstruct_math(
+            basis._consts(), basis.G, basis.negM_dig, basis.NB, basis.PB,
+            s, crt._dot,
+        )
+    )
+    assert (o_p == o_x).all()
+
+
 def test_montgomery_domain_preserved(basis):
     """Montgomery-form inputs yield Montgomery-form outputs."""
     rng = np.random.default_rng(5)
