@@ -137,17 +137,78 @@ def ntt_mxu(plan: MxuNttPlan, x):
     return out.reshape(L, plan.n)
 
 
+def _plan_cache_path(spec, root, n, n1, n2, scale, nz1):
+    import hashlib
+    import os
+
+    key = f"v1:{spec.p}:{root}:{n}:{n1}:{n2}:{scale}:{nz1}"
+    h = hashlib.sha256(key.encode()).hexdigest()[:24]
+    d = os.path.expanduser("~/.cache/stark_tpu_plans")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"ntt_{h}.npz")
+
+
+def make_ntt_plan_cached(spec, root, n, n1=None, n2=None, scale=1, nz1=None):
+    """MxuNttPlan with an on-disk table cache (host build is ~10-25s at
+    2^20; the cached load is ~1s)."""
+    import numpy as _np
+
+    if n1 is None:
+        logn = n.bit_length() - 1
+        n1 = 1 << ((logn + 1) // 2)
+        n2 = n // n1
+    path = _plan_cache_path(spec, root, n, n1, n2, scale, nz1)
+    try:
+        data = _np.load(path)
+    except Exception:
+        data = None
+    if data is not None:
+        plan = object.__new__(MxuNttPlan)
+        plan.n, plan.n1, plan.n2 = n, n1, n2
+        plan.nz1 = nz1 if nz1 is not None else n1
+        ba_bits, bb_bits = int(data["bits_a"]), int(data["bits_b"])
+        plan.basis_a = crt.CrtBasis(spec, ba_bits)
+        plan.basis_b = crt.CrtBasis(spec, bb_bits)
+        pa = object.__new__(crt.CrtMatmulPlan)
+        pa.W0 = jnp.asarray(data["aw0"]).astype(crt._mat_dtype())
+        pa.W1 = jnp.asarray(data["aw1"]).astype(crt._mat_dtype())
+        pa.kout, pa.k = n1, plan.nz1
+        pb = object.__new__(crt.CrtMatmulPlan)
+        pb.W0 = jnp.asarray(data["bw0"]).astype(crt._mat_dtype())
+        pb.W1 = jnp.asarray(data["bw1"]).astype(crt._mat_dtype())
+        pb.kout, pb.k = n2, n2
+        plan.plan_a, plan.plan_b = pa, pb
+        plan.twiddle = jnp.asarray(data["tw"])
+        return plan
+    plan = MxuNttPlan(spec, root, n, n1=n1, n2=n2, scale=scale, nz1=nz1)
+    try:
+        _np.savez(
+            path,
+            count=0,
+            bits_a=plan.basis_a.bound_bits,
+            bits_b=plan.basis_b.bound_bits,
+            aw0=_np.asarray(plan.plan_a.W0.astype(jnp.float32)),
+            aw1=_np.asarray(plan.plan_a.W1.astype(jnp.float32)),
+            bw0=_np.asarray(plan.plan_b.W0.astype(jnp.float32)),
+            bw1=_np.asarray(plan.plan_b.W1.astype(jnp.float32)),
+            tw=_np.asarray(plan.twiddle),
+        )
+    except Exception:
+        pass
+    return plan
+
+
 def make_lde_plans(spec: FieldSpec, g1: int, g2: int, steps: int, precision: int):
     """(iNTT plan at g1^-1 with n^-1 scale, big NTT plan at g2 with
     zero-structure) mirroring `prove.rs:100-169`'s LDE pairs."""
     p = spec.p
-    inv_plan = MxuNttPlan(
+    inv_plan = make_ntt_plan_cached(
         spec, pow(spec.inv(g1), 1, p), steps, scale=spec.inv(steps)
     )
     logp = precision.bit_length() - 1
     n1 = 1 << ((logp + 1) // 2)
     n2 = precision // n1
-    big_plan = MxuNttPlan(
+    big_plan = make_ntt_plan_cached(
         spec, g2, precision, n1=n1, n2=n2, nz1=steps // n2
     )
     return inv_plan, big_plan
