@@ -228,3 +228,29 @@ def lde_mxu_many(inv_plan: MxuNttPlan, big_plan: MxuNttPlan, traces):
     dispatch; XLA schedules the columns sequentially, so peak memory stays
     at the single-column working set)."""
     return [lde_mxu(inv_plan, big_plan, t) for t in traces]
+
+
+def lde_mxu_sharded(mesh, inv_plan: MxuNttPlan, big_plan: MxuNttPlan, trace):
+    """Mesh-sharded CRT LDE: the matmul batch axes are sharded over the
+    mesh's "d" axis and the DFT matrices are replicated, so step A/B run
+    locally per device; the only cross-device traffic is the all-to-all
+    XLA inserts for the mid-pipeline (n1, n2) transpose -- the same
+    communication shape as the classic four-step NTT over ICI
+    (SURVEY.md section 2.9 / `fft.rs:195-251`'s thread axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as Pp
+
+    shard_cols = NamedSharding(mesh, Pp(None, "d"))
+
+    def body(t):
+        coeffs = ntt_mxu(inv_plan, t)
+        coeffs = _jax.lax.with_sharding_constraint(
+            coeffs, NamedSharding(mesh, Pp(None, "d"))
+        )
+        return ntt_mxu(big_plan, coeffs)
+
+    fn = _jax.jit(
+        body,
+        in_shardings=shard_cols,
+        out_shardings=NamedSharding(mesh, Pp(None, "d")),
+    )
+    return fn(trace)

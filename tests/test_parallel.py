@@ -169,3 +169,21 @@ def test_staged_prover_matches_mono_jit():
     assert np.array_equal(np.asarray(m1), np.asarray(m2))
     assert np.array_equal(np.asarray(l1), np.asarray(l2))
     assert np.array_equal(np.asarray(ev1), np.asarray(ev2))
+
+
+def test_lde_mxu_sharded_matches_single_device():
+    """GSPMD-sharded CRT LDE == single-device CRT LDE (8-way mesh)."""
+    from stark_tpu.ops import mxu_ntt
+
+    mesh = _mesh(8)
+    steps, precision = 64, 512
+    p = spec.p
+    g2 = spec.root_of_unity(precision)
+    g1 = pow(g2, precision // steps, p)
+    inv_plan, big_plan = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
+    rng = np.random.default_rng(3)
+    vals = [int(rng.integers(0, 1 << 62)) ** 5 % p for _ in range(steps)]
+    tr = mm.to_mont(spec, mm.ints_to_limbs_np(vals, spec))
+    want = np.asarray(mxu_ntt.lde_mxu(inv_plan, big_plan, tr))
+    got = np.asarray(mxu_ntt.lde_mxu_sharded(mesh, inv_plan, big_plan, tr))
+    assert (got == want).all()
