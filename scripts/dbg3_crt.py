@@ -1,0 +1,150 @@
+"""One-shot TPU discriminator for the large-scale CRT mismatch.
+Compares against the CPU ground truth saved at /tmp/lde_mxu_cpu.npy
+(input: rng(0), a_np[15] &= 0x2FFF).
+Order: cheapest/most-informative first; prints after every step.
+"""
+import os, time
+import jax, numpy as np
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_stark"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+P = lambda *a: print(*a, flush=True)
+rng = np.random.default_rng(9)
+
+# --- 1. raw batched bf16 dot at worst-case magnitudes, K=1024
+A = rng.integers(-64, 65, (4, 64, 1024)).astype(np.float32)
+B = rng.integers(0, 128, (4, 1024, 256)).astype(np.float32)
+bdot = jax.jit(
+    lambda a, b: jax.lax.dot_general(
+        a, b, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+)
+out_bf = np.asarray(bdot(jnp.asarray(A).astype(jnp.bfloat16),
+                         jnp.asarray(B).astype(jnp.bfloat16)))
+want = np.einsum("pik,pkj->pij", A.astype(np.int64), B.astype(np.int64))
+P("1. raw bdot K=1024 exact:", bool((out_bf.astype(np.int64) == want).all()),
+  " max|err|:", int(np.abs(out_bf.astype(np.int64) - want).max()))
+
+# extreme-magnitude deterministic case: S = -1024*64*127 = -8.32M (~2^23)
+Ax = np.full((1, 8, 1024), -64, np.float32)
+Bx = np.full((1, 1024, 8), 127, np.float32)
+ox = np.asarray(bdot(jnp.asarray(Ax).astype(jnp.bfloat16),
+                     jnp.asarray(Bx).astype(jnp.bfloat16)))
+P("1b. extreme bdot == -8323072:", bool((ox == -8323072.0).all()),
+  " got:", float(ox.ravel()[0]))
+
+# --- 1c. FULL-shape batched dot exactness spot-check (57,1024,1024)
+Af = rng.integers(-64, 65, (57, 1024, 1024)).astype(np.float32)
+Bf = rng.integers(0, 128, (57, 1024, 1024)).astype(np.float32)
+of = np.asarray(bdot(jnp.asarray(Af).astype(jnp.bfloat16),
+                     jnp.asarray(Bf).astype(jnp.bfloat16)))
+ok = True
+for pi in (0, 31, 56):
+    want = Af[pi, :64].astype(np.int64) @ Bf[pi].astype(np.int64)[:, :64]
+    if not (of[pi, :64, :64].astype(np.int64) == want).all():
+        ok = False
+        err = of[pi, :64, :64].astype(np.int64) - want
+        P("1c. prime", pi, "max|err|", int(np.abs(err).max()),
+          "n_bad", int((err != 0).sum()))
+P("1c. full-shape bdot exact:", ok)
+del Af, Bf, of
+
+# --- 2. u16 transfer integrity at 114MB
+t16 = rng.integers(0, 16000, (57, 1024, 1024), dtype=np.uint16)
+d16 = jnp.asarray(t16)
+back = np.asarray(d16)
+P("2. u16 114MB roundtrip exact:", bool((back == t16).all()))
+cast = np.asarray(jax.jit(lambda x: x.astype(jnp.uint32) * 3)(d16))
+P("2b. u16 cast*3 exact:", bool((cast == t16.astype(np.uint32) * 3).all()))
+
+# --- 3. lde at full scale: bf16 vs CPU truth
+from stark_tpu.fields.field import BN254_FR as spec
+from stark_tpu.ops import crt, mxu_ntt
+
+steps, precision = 1 << 17, 1 << 20
+p = spec.p
+g2 = spec.root_of_unity(precision)
+g1 = pow(g2, 8, p)
+t0 = time.time()
+ip, bp = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
+P("3. plans built %.0fs" % (time.time() - t0))
+os.environ["STARK_TPU_PALLAS"] = "0"
+r0 = np.random.default_rng(0)
+a_np = r0.integers(0, 1 << 16, size=(16, steps), dtype=np.uint32)
+a_np[15] &= 0x2FFF
+tr = jnp.asarray(a_np)
+truth = np.load("/tmp/lde_mxu_cpu.npy")
+
+os.environ["STARK_TPU_PALLAS"] = "0"  # exact repro of the failing config
+om = np.asarray(jax.jit(lambda i, b, t: mxu_ntt.lde_mxu(i, b, t))(ip, bp, tr))
+os.environ["STARK_TPU_PALLAS"] = "auto"
+eq = om == truth
+P("3. TPU bf16 lde equal:", bool(eq.all()))
+if not eq.all():
+    badcols = np.argwhere(~eq.all(axis=0)).ravel()
+    P("   bad cols:", len(badcols), "first:", badcols[:6].tolist(),
+      "bad limbs of col0:", np.argwhere(om[:, badcols[0]] != truth[:, badcols[0]]).ravel().tolist())
+    # column index structure: k1 + n1*k2 -> which k1/k2?
+    P("   bad k1 set (mod 1024):", sorted(set((badcols % 1024).tolist()))[:10],
+      " bad k2 set (//1024):", sorted(set((badcols // 1024).tolist()))[:10])
+
+# --- 4. intermediate check: small iNTT output vs CPU? (cheap: compare
+# against XLA path on-device at 2^17)
+from stark_tpu.ops import ntt as nttm
+coeffs_tpu = np.asarray(jax.jit(lambda pl, v: mxu_ntt.ntt_mxu(pl, v))(ip, tr))
+w_half = nttm.inverse_table(spec, g1, steps)
+import stark_tpu.ops.modmath as mm
+ref_int = np.asarray(jax.jit(lambda v, wh: nttm.intt(spec, v, wh))(tr, w_half))
+P("4. small iNTT (2^17) equal vs XLA intt:", bool((coeffs_tpu == ref_int).all()))
+
+# --- 5. retry lde with f32 dots (env toggle requires fresh _mat_dtype cache)
+crt._mat_dtype.cache_clear()
+os.environ["STARK_TPU_CRT_F32"] = "1"
+t0 = time.time()
+ip2, bp2 = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
+om2 = np.asarray(jax.jit(lambda i, b, t: mxu_ntt.lde_mxu(i, b, t))(ip2, bp2, tr))
+P("5. TPU f32-dots lde equal:", bool((om2 == truth).all()), "(%.0fs)" % (time.time() - t0))
+os.environ.pop("STARK_TPU_CRT_F32")
+crt._mat_dtype.cache_clear()
+
+# --- 6. pallas-path phases (separate from the XLA repro above)
+os.environ["STARK_TPU_PALLAS"] = "auto"
+# --- 4b. phase timings at 2^20 on basisB (dispatch baseline ~5-9ms each)
+force = jax.jit(lambda x: jnp.sum(x))
+def bench(name, f, *args, iters=3):
+    out = f(*args)
+    np.asarray(force(out))
+    t = time.time()
+    for _ in range(iters):
+        out = f(*args)
+    np.asarray(force(out))
+    P("   %-34s %8.2f ms" % (name, (time.time() - t) / iters * 1e3))
+    return out
+
+bb = bp.basis_b
+N20 = 1 << 20
+x20 = jnp.asarray(r0.integers(0, 1 << 16, (16, N20), dtype=np.uint32))
+r20 = bench("reduce_in (16,2^20)", jax.jit(lambda b, x: b.reduce_in(x)), bb, x20)
+pre20 = bp.twiddle.astype(jnp.uint32).reshape(-1, N20)
+bench("twiddle*fold", jax.jit(
+    lambda b, r, t: b.fold((r * t).reshape(r.shape[0], -1), 28)), bb, r20, pre20)
+c0, c1 = bb.chunk(r20)
+x3 = c0.reshape(c0.shape[0], 1024, 1024)
+bench("4 bdots K=1024", jax.jit(
+    lambda w0, w1, a, b: crt._bdot(w0, a) + crt._bdot(w0, b)
+    + crt._bdot(w1, a) + crt._bdot(w1, b)),
+    bp.plan_b.W0, bp.plan_b.W1, x3, x3)
+bench("reconstruct (xla)", jax.jit(
+    lambda b, s: crt._reconstruct_math(
+        b._consts(), b.G, b.negM_dig, b.NB, b.PB, s, crt._dot)), bb, r20)
+from stark_tpu.ops import pallas_crt
+if pallas_crt.use_pallas(N20):
+    bench("reconstruct (pallas)", jax.jit(
+        lambda b, s: pallas_crt.reconstruct(b, s)), bb, r20)
+    o_a = np.asarray(crt._reconstruct_math(
+        bb._consts(), bb.G, bb.negM_dig, bb.NB, bb.PB, r20[:, :2048], crt._dot))
+    o_p = np.asarray(pallas_crt.reconstruct(bb, r20[:, :2048]))
+    P("   pallas reconstruct equal:", bool((o_a == o_p).all()))
+

@@ -420,6 +420,34 @@ def make_lde_plan(spec: FieldSpec, g1: int, g2: int, steps: int, precision: int)
     return LdePlan(spec, g1, g2, steps, precision)
 
 
+def use_mxu_lde(steps: int, precision: int) -> bool:
+    """Route LDEs to the CRT/MXU matmul engine (ops/mxu_ntt)?
+    STARK_TPU_MXU=1 enables it for large domains on any backend;
+    =force drops the size floor (tests)."""
+    env = os.environ.get("STARK_TPU_MXU", "0")
+    if precision > 1 << 20:
+        return False
+    return env == "force" or (env == "1" and steps >= 1 << 12)
+
+
+def make_best_lde(spec: FieldSpec, g1: int, g2: int, steps: int, precision: int):
+    """Returns (lde_fn, plans...) with the backend chosen by `use_mxu_lde`:
+    lde_fn(trace (L, steps)) -> (L, precision), jit-compatible."""
+    if use_mxu_lde(steps, precision):
+        from stark_tpu.ops import mxu_ntt
+
+        inv_plan, big_plan = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
+        import jax
+
+        base = jax.jit(lambda t, ip, bp: mxu_ntt.lde_mxu(ip, bp, t))
+        return lambda t: base(t, inv_plan, big_plan)
+    plan = make_lde_plan(spec, g1, g2, steps, precision)
+    import jax
+
+    base = jax.jit(lambda t, pl: lde(spec, t, pl))
+    return lambda t: base(t, plan)
+
+
 def lde(spec: FieldSpec, trace, plan: LdePlan):
     """Low-degree extension: interpolate (L, steps) trace on the g1 domain,
     re-evaluate on the g2 domain of size `precision`.

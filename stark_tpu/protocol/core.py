@@ -139,12 +139,7 @@ def build_staged_prover(
     #
     # STARK_TPU_MXU=1 swaps in the CRT four-step matmul LDE (ops/mxu_ntt):
     # both transforms become MXU contractions instead of VPU butterflies.
-    import os as _os
-
-    _mxu_env = _os.environ.get("STARK_TPU_MXU", "0")
-    use_mxu = precision <= 1 << 20 and (
-        _mxu_env == "force" or (_mxu_env == "1" and steps >= 1 << 12)
-    )
+    use_mxu = nttm.use_mxu_lde(steps, precision)
     if use_mxu:
         from stark_tpu.ops import mxu_ntt
 

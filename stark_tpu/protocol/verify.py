@@ -24,11 +24,6 @@ from stark_tpu.protocol.prove import augmented_positions
 from stark_tpu.utils import poly_host as ph
 
 
-def _lde_ints(spec, values, plan):
-    vm = mm.to_mont(spec, mm.ints_to_limbs_np(values, spec))
-    return nttm.lde(spec, vm, plan)
-
-
 def _gather_ints(spec, mont_arr, positions) -> list[int]:
     sub = np.asarray(mm.from_mont(spec, mont_arr[:, np.asarray(positions)]))
     return mm.limbs_to_ints_np(sub, spec)
@@ -76,15 +71,15 @@ def verify_r1cs_proof(
     )
 
     # device LDEs of the public columns, gathered at the spot checks
-    plan = nttm.make_lde_plan(spec, params.g1, params.g2, steps, precision)
-    k_at = _gather_ints(spec, _lde_ints(spec, coeffs, plan), positions)
-    f0_at = _gather_ints(spec, _lde_ints(spec, f0, plan), positions)
-    f1_at = _gather_ints(spec, _lde_ints(spec, f1, plan), positions)
-    f2_at = _gather_ints(spec, _lde_ints(spec, f2, plan), positions)
-    idx_at = _gather_ints(
-        spec, _lde_ints(spec, list(range(steps)), plan), positions
-    )
-    perm_at = _gather_ints(spec, _lde_ints(spec, permuted, plan), positions)
+    # (backend chosen by STARK_TPU_MXU: butterfly kernels or CRT matmuls)
+    lde_fn = nttm.make_best_lde(spec, params.g1, params.g2, steps, precision)
+    _lde = lambda vals: lde_fn(mm.to_mont(spec, mm.ints_to_limbs_np(vals, spec)))
+    k_at = _gather_ints(spec, _lde(coeffs), positions)
+    f0_at = _gather_ints(spec, _lde(f0), positions)
+    f1_at = _gather_ints(spec, _lde(f1), positions)
+    f2_at = _gather_ints(spec, _lde(f2), positions)
+    idx_at = _gather_ints(spec, _lde(list(range(steps))), positions)
+    perm_at = _gather_ints(spec, _lde(permuted), positions)
 
     # boundary interpolants (host; verify.rs:153-157)
     pub_xs = [pow(params.g2, skips * w, p) for (_, w) in public_first_indices]
