@@ -80,6 +80,7 @@ class MxuNttPlan:
         n2: int | None = None,
         scale: int = 1,
         nz1: int | None = None,
+        stepa_pre: bool = False,
     ):
         p = spec.p
         if n1 is None:
@@ -94,7 +95,11 @@ class MxuNttPlan:
         assert self.nz1 <= n1
         w1 = pow(root, n2, p)
         w2 = pow(root, n1, p)
-        bits_a = (self.nz1 - 1).bit_length() + 2 * p.bit_length() + 2
+        # a step-A pre-table (three-level mid twiddle) adds a factor p
+        bits_a = (
+            (self.nz1 - 1).bit_length()
+            + (3 if stepa_pre else 2) * p.bit_length() + 2
+        )
         bits_b = (n2 - 1).bit_length() + 3 * p.bit_length() + 2
         self.basis_a = crt.CrtBasis(spec, bits_a)
         self.basis_b = crt.CrtBasis(spec, bits_b)
@@ -137,6 +142,112 @@ def ntt_mxu(plan: MxuNttPlan, x):
     return out.reshape(L, plan.n)
 
 
+class MxuNttPlan3:
+    """Three-level four-step plan for n = n1 * m (m = inner n up to 2^20,
+    n1 <= 1024): step A contracts n1, a full-size twiddle scales, and the
+    inner transform is a batched two-level `MxuNttPlan` applied across the
+    n1 rows. Extends the MXU engine to n up to 2^30 (table memory caps it
+    in practice around 2^24). Pytree."""
+
+    def __init__(
+        self, spec: FieldSpec, root: int, n: int, scale: int = 1,
+        n1: int | None = None,
+    ):
+        p = spec.p
+        logn = n.bit_length() - 1
+        if n1 is None:
+            assert logn > 20, "use MxuNttPlan for n <= 2^20"
+            n1 = 1 << (logn - 20)
+        assert n1 <= 1024, "n too large for the three-level split"
+        m = n // n1
+        assert n1 * m == n
+        self.n, self.n1, self.m = n, n1, m
+        w1 = pow(root, m, p)  # order n1
+        bits_a = (n1 - 1).bit_length() + 2 * p.bit_length() + 2
+        self.basis_a = crt.CrtBasis(spec, bits_a)
+        self.plan_a = crt.CrtMatmulPlan(self.basis_a, _pow_matrix(w1, n1, n1, p))
+        # mid twiddle W[k1, j23] = root^(k1*j23) as residues of the INNER
+        # plan's step-A basis (applied as its pre-table); the inner plan's
+        # own twiddle then applies inside as usual.
+        self.inner = make_ntt_plan_cached(
+            spec, pow(root, n1, p), m, scale=scale, stepa_pre=True
+        )
+        qa = self.inner.basis_a.qs_host
+        self.mid = jnp.asarray(
+            _twiddle_mid_residues(root, n1, m, self.inner.n2, p, qa)
+        )
+
+    def _aux(self):
+        return (self.n, self.n1, self.m)
+
+
+def _twiddle_mid_residues(w, n1, m, inner_n2, p, qs) -> np.ndarray:
+    """T[k1, j23] = w^(k1*j23) shaped for the inner step-A pre-table:
+    (P+1, inner_nz1(=inner_n1 here), inner_n2) per k1 row, laid out as
+    (P+1, n1, m) viewed later as (P+1, n1*inner_n1, inner_n2)."""
+    flat = []
+    wk1 = 1
+    for _ in range(n1):
+        v = 1
+        row = []
+        for _ in range(m):
+            row.append(v)
+            v = v * wk1 % p
+        flat.extend(row)
+        wk1 = wk1 * w % p
+    by = crt.ints_to_bytes_np(flat)
+    res = crt.residues_of_ints_np(by, qs)  # (P+1, n1*m)
+    return np.ascontiguousarray(res.astype(np.uint16))
+
+
+def _plan3_flatten(pl: MxuNttPlan3):
+    return (
+        (pl.basis_a, pl.plan_a, pl.inner, pl.mid),
+        (pl.n, pl.n1, pl.m),
+    )
+
+
+def _plan3_unflatten(aux, leaves):
+    pl = object.__new__(MxuNttPlan3)
+    pl.basis_a, pl.plan_a, pl.inner, pl.mid = leaves
+    pl.n, pl.n1, pl.m = aux
+    return pl
+
+
+_jax.tree_util.register_pytree_node(MxuNttPlan3, _plan3_flatten, _plan3_unflatten)
+
+
+def ntt_mxu3(plan: MxuNttPlan3, x):
+    """Natural-order DFT for n > 2^20 via the three-level plan. The n1
+    outer rows ride the B (batch) axis of the inner plan's two matmuls."""
+    L = x.shape[0]
+    n1 = plan.n1
+    inner = plan.inner
+    in1, in2 = inner.n1, inner.n2
+    xv = x.reshape(L, n1, plan.m)
+    a1 = crt.crt_matmul(plan.basis_a, plan.plan_a, xv)  # (L, n1, m)
+    # inner step A across all n1 rows: contraction over j2 (= inner rows),
+    # mid twiddle w^(k1*j23) folded in as the pre-table
+    av = a1.reshape(L, n1, in1, in2)
+    av = jnp.swapaxes(av, 1, 2).reshape(L, in1, n1 * in2)
+    pre = plan.mid.astype(jnp.uint32).reshape(-1, n1, in1, in2)
+    pre = jnp.swapaxes(pre, 1, 2).reshape(pre.shape[0], in1, n1 * in2)
+    b1 = crt.crt_matmul(inner.basis_a, inner.plan_a, av, pre=pre)
+    # b1: (L, in1out, n1*in2); inner step B: contraction over j3
+    bv = b1.reshape(L, in1, n1, in2)
+    bv = jnp.transpose(bv, (0, 3, 2, 1)).reshape(L, in2, n1 * in1)
+    pre2 = inner.twiddle.astype(jnp.uint32)  # (P, in2, in1)
+    pre2 = jnp.broadcast_to(
+        pre2[:, :, None, :], (pre2.shape[0], in2, n1, in1)
+    ).reshape(pre2.shape[0], in2, n1 * in1)
+    out = crt.crt_matmul(inner.basis_b, inner.plan_b, bv, pre=pre2)
+    # out: (L, in2out=k2', n1*in1) with trailing dims (k1, k1'); overall
+    # flat k = k1 + n1*(k1' + in1*k2')
+    ov = out.reshape(L, in2, n1, in1)
+    ov = jnp.transpose(ov, (0, 1, 3, 2))  # (L, k2', k1', k1)
+    return ov.reshape(L, plan.n)
+
+
 def _plan_cache_path(spec, root, n, n1, n2, scale, nz1):
     import hashlib
     import os
@@ -148,7 +259,9 @@ def _plan_cache_path(spec, root, n, n1, n2, scale, nz1):
     return os.path.join(d, f"ntt_{h}.npz")
 
 
-def make_ntt_plan_cached(spec, root, n, n1=None, n2=None, scale=1, nz1=None):
+def make_ntt_plan_cached(
+    spec, root, n, n1=None, n2=None, scale=1, nz1=None, stepa_pre=False
+):
     """MxuNttPlan with an on-disk table cache (host build is ~10-25s at
     2^20; the cached load is ~1s)."""
     import numpy as _np
@@ -157,7 +270,7 @@ def make_ntt_plan_cached(spec, root, n, n1=None, n2=None, scale=1, nz1=None):
         logn = n.bit_length() - 1
         n1 = 1 << ((logn + 1) // 2)
         n2 = n // n1
-    path = _plan_cache_path(spec, root, n, n1, n2, scale, nz1)
+    path = _plan_cache_path(spec, root, n, n1, n2, scale, (nz1, stepa_pre))
     try:
         data = _np.load(path)
     except Exception:
@@ -180,7 +293,9 @@ def make_ntt_plan_cached(spec, root, n, n1=None, n2=None, scale=1, nz1=None):
         plan.plan_a, plan.plan_b = pa, pb
         plan.twiddle = jnp.asarray(data["tw"])
         return plan
-    plan = MxuNttPlan(spec, root, n, n1=n1, n2=n2, scale=scale, nz1=nz1)
+    plan = MxuNttPlan(
+        spec, root, n, n1=n1, n2=n2, scale=scale, nz1=nz1, stepa_pre=stepa_pre
+    )
     try:
         _np.savez(
             path,

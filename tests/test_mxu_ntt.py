@@ -60,3 +60,17 @@ def test_lde_mxu_matches_lde():
     ref_plan = nttm.make_lde_plan(spec, g1, g2, steps, precision)
     want = from_mont_ints(nttm.lde(spec, tr, ref_plan))
     assert out == want
+
+
+def test_ntt_mxu3_three_level():
+    """Three-level plan (outer matmul + mid twiddle + batched inner
+    four-step) matches the reference DFT."""
+    rng = np.random.default_rng(4)
+    n = 1 << 12  # n1=4, inner 1024 = 32x32
+    root = spec.root_of_unity(n)
+    vals, x = rand_mont(rng, n)
+    plan = mxu_ntt.MxuNttPlan3(spec, root, n, n1=4)
+    out = from_mont_ints(mxu_ntt.ntt_mxu3(plan, x))
+    w_half = nttm.forward_table(spec, root, n)
+    want = from_mont_ints(nttm.ntt(spec, x, w_half))
+    assert out == want
