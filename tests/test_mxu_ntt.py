@@ -74,3 +74,18 @@ def test_ntt_mxu3_three_level():
     w_half = nttm.forward_table(spec, root, n)
     want = from_mont_ints(nttm.ntt(spec, x, w_half))
     assert out == want
+
+
+def test_lde_mxu_matches_lde_mid_scale():
+    """2^11 -> 2^14 LDE equality (bigger shapes exercise the lane-blocked
+    wide dots and multi-fold chains that tiny tests miss)."""
+    rng = np.random.default_rng(5)
+    steps, precision = 1 << 11, 1 << 14
+    g2 = spec.root_of_unity(precision)
+    g1 = pow(g2, 8, P)
+    vals, tr = rand_mont(rng, steps)
+    inv_plan, big_plan = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
+    out = from_mont_ints(mxu_ntt.lde_mxu(inv_plan, big_plan, tr))
+    ref_plan = nttm.make_lde_plan(spec, g1, g2, steps, precision)
+    want = from_mont_ints(nttm.lde(spec, tr, ref_plan))
+    assert out == want
