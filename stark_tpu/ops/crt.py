@@ -485,11 +485,30 @@ jax.tree_util.register_pytree_node(CrtMatmulPlan, _plan_flatten, _plan_unflatten
 
 
 def _bdot(a, b):
-    """(P, m, k) @ (P, k, n) -> (P, m, n) f32, prime-batched."""
+    """(P, m, k) @ (P, k, n) -> (P, m, n) f32, prime-batched.
+
+    STARK_TPU_CRT_SPLITK=1 splits the contraction in half and adds the
+    partial products in i32 (defensive mode: halves the worst-case f32
+    accumulator magnitude if a backend's accumulation turns out inexact
+    near 2^23)."""
+    import os
+
     dt = _mat_dtype()
+    dims = (((2,), (1,)), ((0,), (0,)))
+    k = a.shape[2]
+    if os.environ.get("STARK_TPU_CRT_SPLITK", "0") == "1" and k > 128:
+        h = k // 2
+        lo = jax.lax.dot_general(
+            a[:, :, :h].astype(dt), b[:, :h], dims,
+            preferred_element_type=jnp.float32,
+        )
+        hi = jax.lax.dot_general(
+            a[:, :, h:].astype(dt), b[:, h:], dims,
+            preferred_element_type=jnp.float32,
+        )
+        return (lo.astype(jnp.int32) + hi.astype(jnp.int32)).astype(jnp.float32)
     return jax.lax.dot_general(
-        a.astype(dt), b, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        a.astype(dt), b, dims, preferred_element_type=jnp.float32
     )
 
 

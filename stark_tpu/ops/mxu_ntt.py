@@ -34,6 +34,14 @@ from stark_tpu.ops import crt
 import jax as _jax
 
 
+def _tw_dtype():
+    """u16 twiddle storage halves HBM; STARK_TPU_CRT_TW32=1 stores u32
+    (debug toggle for transports with suspect sub-32-bit transfers)."""
+    import os
+
+    return np.uint32 if os.environ.get("STARK_TPU_CRT_TW32", "0") == "1" else np.uint16
+
+
 def _pow_matrix(base: int, rows: int, cols: int, p: int, scale: int = 1):
     """[[scale * base^(r*c) mod p]] as a list of row lists (python ints)."""
     out = []
@@ -65,7 +73,7 @@ def _twiddle_residues(w: int, n1: int, n2: int, p: int, qs) -> np.ndarray:
     by = crt.ints_to_bytes_np(flat)
     res = crt.residues_of_ints_np(by, qs)  # (P+1, n1*n2)
     res = res.reshape(len(qs), n1, n2).transpose(0, 2, 1)
-    return np.ascontiguousarray(res.astype(np.uint16))
+    return np.ascontiguousarray(res.astype(_tw_dtype()))
 
 
 class MxuNttPlan:
@@ -197,7 +205,7 @@ def _twiddle_mid_residues(w, n1, m, inner_n2, p, qs) -> np.ndarray:
         wk1 = wk1 * w % p
     by = crt.ints_to_bytes_np(flat)
     res = crt.residues_of_ints_np(by, qs)  # (P+1, n1*m)
-    return np.ascontiguousarray(res.astype(np.uint16))
+    return np.ascontiguousarray(res.astype(_tw_dtype()))
 
 
 def _plan3_flatten(pl: MxuNttPlan3):
@@ -252,7 +260,7 @@ def _plan_cache_path(spec, root, n, n1, n2, scale, nz1):
     import hashlib
     import os
 
-    key = f"v1:{spec.p}:{root}:{n}:{n1}:{n2}:{scale}:{nz1}"
+    key = f"v1:{spec.p}:{root}:{n}:{n1}:{n2}:{scale}:{nz1}:{_tw_dtype().__name__}"
     h = hashlib.sha256(key.encode()).hexdigest()[:24]
     d = os.path.expanduser("~/.cache/stark_tpu_plans")
     os.makedirs(d, exist_ok=True)
