@@ -109,6 +109,19 @@ P("5. TPU f32-dots lde equal:", bool((om2 == truth).all()), "(%.0fs)" % (time.ti
 os.environ.pop("STARK_TPU_CRT_F32")
 crt._mat_dtype.cache_clear()
 
+# --- 5b. retry with split-K dots (bf16)
+os.environ["STARK_TPU_CRT_SPLITK"] = "1"
+om3 = np.asarray(jax.jit(lambda i, b, t: mxu_ntt.lde_mxu(i, b, t))(ip, bp, tr))
+P("5b. TPU splitK lde equal:", bool((om3 == truth).all()))
+os.environ.pop("STARK_TPU_CRT_SPLITK")
+
+# --- 5c. retry with u32 twiddle tables
+os.environ["STARK_TPU_CRT_TW32"] = "1"
+ip3, bp3 = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
+om4 = np.asarray(jax.jit(lambda i, b, t: mxu_ntt.lde_mxu(i, b, t))(ip3, bp3, tr))
+P("5c. TPU u32-twiddle lde equal:", bool((om4 == truth).all()))
+os.environ.pop("STARK_TPU_CRT_TW32")
+
 # --- 6. pallas-path phases (separate from the XLA repro above)
 os.environ["STARK_TPU_PALLAS"] = "auto"
 # --- 4b. phase timings at 2^20 on basisB (dispatch baseline ~5-9ms each)

@@ -163,3 +163,48 @@ def test_montgomery_domain_preserved(basis):
         got = ints_of(out[:, kk, :])[0]
         want = sum(w[kk][j] * xs[j] for j in range(k)) % P
         assert got == want * (R256 % P) % P
+
+
+def test_crt_matmul_edge_values(basis):
+    """Extremes (0, 1, p-1, dense-limb patterns) stress the fold bounds,
+    chunk boundaries, and the wrap-count recovery."""
+    k = 8
+    edge = [0, 1, P - 1, P - 2, (1 << 254) % P, int("f" * 63, 16) % P,
+            0x8000800080008000800080008000800080008000800080008000800080008000 % P,
+            P // 2]
+    w = [[edge[(i + j) % len(edge)] for j in range(k)] for i in range(k)]
+    plan = crt.CrtMatmulPlan(basis, w)
+    xs = [[edge[(3 * i + b) % len(edge)] for b in range(4)] for i in range(k)]
+    x = np.zeros((16, k, 4), np.uint32)
+    for j in range(k):
+        x[:, j, :] = limbs_np(xs[j])
+    out = np.asarray(crt.crt_matmul(basis, plan, jnp.asarray(x)))
+    for kk in range(k):
+        got = ints_of(out[:, kk, :])
+        for bb in range(4):
+            want = sum(w[kk][j] * xs[j][bb] for j in range(k)) % P
+            assert got[bb] == want, (kk, bb)
+
+
+def test_crt_matmul_pre_edge_values(basis):
+    """Pre-table at q-1 extremes with near-p data."""
+    k, b = 4, 4
+    w = [[P - 1 - i * 7 - j for j in range(k)] for i in range(k)]
+    plan = crt.CrtMatmulPlan(basis, w)
+    tvals = [[P - 1 - 13 * t - i for t in range(b)] for i in range(k)]
+    pre = np.array(
+        [[[t % q for t in row] for row in tvals] for q in basis.qs_host],
+        np.uint32,
+    )
+    xs = [[P - 1 - 29 * t - 3 * i for t in range(b)] for i in range(k)]
+    x = np.zeros((16, k, b), np.uint32)
+    for j in range(k):
+        x[:, j, :] = limbs_np(xs[j])
+    out = np.asarray(
+        crt.crt_matmul(basis, plan, jnp.asarray(x), pre=jnp.asarray(pre))
+    )
+    for kk in range(k):
+        got = ints_of(out[:, kk, :])
+        for bb in range(b):
+            want = sum(w[kk][j] * tvals[j][bb] * xs[j][bb] for j in range(k)) % P
+            assert got[bb] == want, (kk, bb)
