@@ -76,8 +76,8 @@ def _pad_col(col, steps: int):
     return list(col) + [0] * (steps - n)
 
 
-def _lde_column(spec, values, plan):
-    return nttm.lde(spec, _col_mont(spec, values), plan)
+def _lde_column(spec, values, lde_fn):
+    return lde_fn(_col_mont(spec, values))
 
 
 def _tile_periodic(spec: FieldSpec, scalars: list[int], precision: int):
@@ -149,21 +149,21 @@ def mk_r1cs_proof(
 
     # --- domain tables ---
     xs_full = mm.power_table(spec, params.g2, precision)  # (L, precision)
-    plan = nttm.make_lde_plan(spec, params.g1, params.g2, steps, precision)
+    lde_fn = nttm.make_best_lde(spec, params.g1, params.g2, steps, precision)
 
     # --- 8 LDE columns (prove.rs:100-169) ---
     with phase("lde_columns"):
-        k_ev = _lde_column(spec, coeffs, plan)
-        f0_ev = _lde_column(spec, f0, plan)
-        f1_ev = _lde_column(spec, f1, plan)
-        f2_ev = _lde_column(spec, f2, plan)
+        k_ev = _lde_column(spec, coeffs, lde_fn)
+        f0_ev = _lde_column(spec, f0, lde_fn)
+        f1_ev = _lde_column(spec, f1, lde_fn)
+        f2_ev = _lde_column(spec, f2, lde_fn)
         s_small = _col_mont(spec, s_trace)
-        s_ev = nttm.lde(spec, s_small, plan)
-        p_ev = _lde_column(spec, p_trace, plan)
+        s_ev = lde_fn(s_small)
+        p_ev = _lde_column(spec, p_trace, lde_fn)
         idx_small = _col_mont(spec, np.arange(steps, dtype=np.uint64))
-        idx_ev = nttm.lde(spec, idx_small, plan)
+        idx_ev = lde_fn(idx_small)
         perm_small = _col_mont(spec, permuted)
-        perm_ev = nttm.lde(spec, perm_small, plan)
+        perm_ev = lde_fn(perm_small)
 
     # --- accumulator commitment + randomness (utils.rs:250-290) ---
     with phase("a_tree"):
@@ -189,7 +189,7 @@ def mk_r1cs_proof(
             spec, r_mont, idx_small, perm_small, s_small
         )
         a_mini = kernels.accumulator_mini(spec, val_nmr, val_dnm)
-        a_ev = nttm.lde(spec, a_mini, plan)
+        a_ev = lde_fn(a_mini)
 
     # --- quotients Q1/Q2/Q3 (utils.rs:181-248,344-376) ---
     with phase("quotients"):
