@@ -209,9 +209,9 @@ def mk_r1cs_proof(
     inv_z = _tile_periodic(spec, inv_z_scalars, precision)
     for q, what in ((q1, "D1"), (q2, "D2"), (q3, "D3")):
         _check_zero_at_stride(spec, q, skips, what)
-    d1 = mm.mmul(spec, q1, inv_z)
-    d2 = mm.mmul(spec, q2, inv_z)
-    d3 = mm.mmul(spec, q3, inv_z)
+    d1 = kernels.mmul_ev(spec, q1, inv_z)
+    d2 = kernels.mmul_ev(spec, q2, inv_z)
+    d3 = kernels.mmul_ev(spec, q3, inv_z)
 
     # --- boundary interpolants and quotients (utils.rs:421-524) ---
     pub_xs = [pow(params.g2, skips * w, p) for (_, w) in arith.public_first_indices]
@@ -224,8 +224,8 @@ def mk_r1cs_proof(
     zb2 = kernels.vanishing_eval(spec, xs_full, mm.mont_consts(spec, pub_xs))
     x_last = pow(params.g2, precision - skips, p)
     zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(mm.mont_const(spec, x_last), xs_full.shape))
-    b2 = mm.mmul(spec, mm.msub(spec, s_ev, i2_ev), mm.multi_inv(spec, zb2))
-    b3 = mm.mmul(spec, mm.msub(spec, a_ev, one_big), mm.multi_inv(spec, zb3))
+    b2 = kernels.mmul_ev(spec, mm.msub(spec, s_ev, i2_ev), mm.multi_inv(spec, zb2))
+    b3 = kernels.mmul_ev(spec, mm.msub(spec, a_ev, one_big), mm.multi_inv(spec, zb3))
 
     # --- m-tree: 256-byte leaves P||A||S||D1||D2||D3||B2||B3 (prove.rs:235) ---
     with phase("m_tree"):
