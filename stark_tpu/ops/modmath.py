@@ -42,14 +42,22 @@ _SHIFT = LIMB_BITS
 # ---------------------------------------------------------------------------
 
 def ints_to_limbs_np(values, spec: FieldSpec) -> np.ndarray:
-    """Iterable of python ints -> (L, N) uint32 canonical limbs."""
+    """Iterable of python ints -> (L, N) uint32 canonical limbs.
+
+    Bulk path: one `int.to_bytes` per value + a vectorized byte->limb
+    recombine (the per-limb python loop cost ~19 s at 2^17 values)."""
     vals = [int(v) % spec.p for v in values]
     L = spec.num_limbs
-    out = np.empty((L, len(vals)), dtype=np.uint32)
-    for n, v in enumerate(vals):
-        for i in range(L):
-            out[i, n] = (v >> (LIMB_BITS * i)) & LIMB_MASK
-    return out
+    nbytes = L * LIMB_BITS // 8
+    if not vals:
+        return np.empty((L, 0), dtype=np.uint32)
+    buf = b"".join(v.to_bytes(nbytes, "little") for v in vals)
+    by = np.frombuffer(buf, np.uint8).reshape(len(vals), nbytes).T
+    bpl = LIMB_BITS // 8  # bytes per limb
+    out = np.zeros((L, len(vals)), dtype=np.uint32)
+    for b in range(bpl):
+        out |= by[b::bpl].astype(np.uint32) << (8 * b)
+    return np.ascontiguousarray(out)
 
 
 def limbs_to_ints_np(arr, spec: FieldSpec) -> list[int]:
