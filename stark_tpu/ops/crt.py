@@ -350,14 +350,20 @@ def _dot(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-    assert N % _LANE_BLOCK == 0, (m, K, N)
-    nb = N // _LANE_BLOCK
-    bv = jnp.swapaxes(b.reshape(K, nb, _LANE_BLOCK), 0, 1)  # (nb, K, 1024)
+    npad = (-N) % _LANE_BLOCK
+    bp = (
+        jnp.concatenate([b, jnp.zeros((K, npad), b.dtype)], axis=1)
+        if npad
+        else b
+    )
+    nb = (N + npad) // _LANE_BLOCK
+    bv = jnp.swapaxes(bp.reshape(K, nb, _LANE_BLOCK), 0, 1)  # (nb, K, 1024)
     av = jnp.broadcast_to(a, (nb, m, K))
     out = jax.lax.dot_general(
         av, bv, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (nb, m, 1024)
-    return jnp.swapaxes(out, 0, 1).reshape(m, N)
+    out = jnp.swapaxes(out, 0, 1).reshape(m, N + npad)
+    return out[:, :N] if npad else out
 
 
 def _carry_digits(cols_i32, n_out: int, trunc: bool = False):
