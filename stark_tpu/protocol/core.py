@@ -10,8 +10,6 @@ and the throughput benchmark; the orchestrated prover in
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
