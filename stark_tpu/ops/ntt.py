@@ -71,6 +71,37 @@ def _bitrev_perm(n: int) -> np.ndarray:
     return rev
 
 
+def _shoup_stage_tables(spec: FieldSpec, root: int, n: int):
+    """Per-stage stacked (2L, l) tables [plain twiddle ; floor(tw*R/p)]
+    for the Shoup butterfly path, l ascending (1, 2, ..., n/2)."""
+    p = spec.p
+    L = spec.num_limbs
+    rbits = L * 16
+    tables = []
+    l, m = 1, n // 2
+    logn = n.bit_length() - 1
+    for _ in range(logn):
+        ratio = pow(root, m, p)
+        tws, v = [], 1
+        for _ in range(l):
+            tws.append(v)
+            v = v * ratio % p
+        comps = [(t << rbits) // p for t in tws]
+        arr = np.zeros((2 * L, l), np.uint32)
+        for idx, t in enumerate(tws):
+            for i in range(L):
+                arr[i, idx] = (t >> (16 * i)) & 0xFFFF
+        for idx, t in enumerate(comps):
+            for i in range(L):
+                arr[L + i, idx] = (t >> (16 * i)) & 0xFFFF
+        import jax.numpy as _jnp
+
+        tables.append(_jnp.asarray(arr))
+        l *= 2
+        m //= 2
+    return tables
+
+
 def forward_table(spec: FieldSpec, root: int, n: int):
     """(L, n/2) powers [1, w, ..., w^(n/2-1)] for an order-n NTT."""
     return mm.power_table(spec, root, max(n // 2, 1))
@@ -192,16 +223,27 @@ class NttPlan:
         # would just churn compiles (FRI rounds shrink through many sizes)
         forced = os.environ.get("STARK_TPU_PALLAS", "") in ("1", "force")
         self.pallas = _use_pallas() and (n >= 4 * pf.TILE or forced) and n > 2
+        self.shoup = (
+            self.pallas
+            and spec.num_limbs == 16
+            and os.environ.get("STARK_TPU_SHOUP", "0") in ("1", "force")
+        )
         if self.pallas:
             # classic position-twiddle factorizations (GS-DIF / CT-DIT)
             # share identical per-stage tables tw_k = root^(k*m), k in [l]
-            w_half = mm.power_table(spec, root, max(n // 2, 1))
             block = min(n, 2 * pf.TILE)
             logn = n.bit_length() - 1
+            if self.shoup:
+                stage_tables = _shoup_stage_tables(spec, root, n)
+            else:
+                w_half = mm.power_table(spec, root, max(n // 2, 1))
             stages = []  # ascending l
             l, m = 1, n // 2
-            for _ in range(logn):
-                tw = w_half[:, ::m][:, :l] if l > 1 else w_half[:, :1]
+            for si in range(logn):
+                if self.shoup:
+                    tw = stage_tables[si]
+                else:
+                    tw = w_half[:, ::m][:, :l] if l > 1 else w_half[:, :1]
                 stages.append((m, l, tw))
                 l *= 2
                 m //= 2
@@ -237,50 +279,61 @@ class NttPlan:
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_jit(spec: FieldSpec, m: int, l: int, kind: str):
+def _stage_jit(spec: FieldSpec, m: int, l: int, kind: str, shoup: bool, canon: bool):
     """Cached jitted single-stage kernel (so eager per-stage dispatch hits
     one compiled executable per (shape, stage) instead of re-lowering)."""
     import jax
 
-    return jax.jit(lambda a, tw: pf.butterfly_stage(spec, a, tw, m, l, kind))
-
-
-@functools.lru_cache(maxsize=None)
-def _fused_jit(spec: FieldSpec, ls: tuple, block: int, kind: str):
-    import jax
-
     return jax.jit(
-        lambda a, rows: pf.butterfly_fused(spec, a, rows, list(ls), block, kind)
+        lambda a, tw: pf.butterfly_stage(spec, a, tw, m, l, kind, shoup, canon)
     )
 
 
-def _run_pallas(spec: FieldSpec, a, plan: NttPlan):
+@functools.lru_cache(maxsize=None)
+def _fused_jit(spec: FieldSpec, ls: tuple, block: int, kind: str, shoup: bool,
+               canon: bool):
+    import jax
+
+    return jax.jit(
+        lambda a, rows: pf.butterfly_fused(
+            spec, a, rows, list(ls), block, kind, shoup, canon
+        )
+    )
+
+
+def _run_pallas(spec: FieldSpec, a, plan: NttPlan, canon: bool = False):
     """Execute a pallas plan: strided single-stage kernels for l >= TILE,
     one fused kernel for the run of small-l stages. Stages dispatch as
-    separate jits -- small compile modules, cached executables."""
+    separate jits -- small compile modules, cached executables. With the
+    Shoup path, `canon` canonicalizes the final stage's outputs."""
     kind = plan.direction
+    shoup = getattr(plan, "shoup", False)
+    canon = canon and shoup
 
-    def run_fused(a):
+    def run_fused(a, last: bool):
         if plan.fused is None:
             return a
         rows, ls, block = plan.fused
-        return _fused_jit(spec, tuple(ls), block, kind)(a, rows)
+        return _fused_jit(spec, tuple(ls), block, kind, shoup, canon and last)(
+            a, rows
+        )
 
     if kind == "dif":
         for m, l, tw in plan.singles:
-            a = _stage_jit(spec, m, l, kind)(a, tw)
-        a = run_fused(a)
+            a = _stage_jit(spec, m, l, kind, shoup, False)(a, tw)
+        a = run_fused(a, True)
     else:
-        a = run_fused(a)
-        for m, l, tw in plan.singles:
-            a = _stage_jit(spec, m, l, kind)(a, tw)
+        a = run_fused(a, plan.singles == [])
+        for i, (m, l, tw) in enumerate(plan.singles):
+            last = i == len(plan.singles) - 1
+            a = _stage_jit(spec, m, l, kind, shoup, canon and last)(a, tw)
     return a
 
 
 def _dif_fast(spec: FieldSpec, a, plan: NttPlan):
     """(L, n) natural -> (L, n) bitrev DFT via the two-level pipeline."""
     if plan.pallas:
-        return _run_pallas(spec, a, plan)
+        return _run_pallas(spec, a, plan)  # lazy [0,2p) under Shoup
     if plan.small:
         return _dif_core(spec, a, plan.w_half)
     L = a.shape[0]
@@ -294,10 +347,11 @@ def _dif_fast(spec: FieldSpec, a, plan: NttPlan):
     return a3.reshape(L, plan.n)
 
 
-def _dit_fast(spec: FieldSpec, a, plan: NttPlan):
-    """(L, n) bitrev -> (L, n) natural DFT (mirror of `_dif_fast`)."""
+def _dit_fast(spec: FieldSpec, a, plan: NttPlan, canon: bool = True):
+    """(L, n) bitrev -> (L, n) natural DFT (mirror of `_dif_fast`).
+    Under the Shoup path `canon` controls final canonicalization."""
     if plan.pallas:
-        return _run_pallas(spec, a, plan)
+        return _run_pallas(spec, a, plan, canon=canon)
     if plan.small:
         return _dit_core(spec, a, plan.w_half)
     L = a.shape[0]
@@ -351,6 +405,7 @@ def _nttplan_flatten(p: "NttPlan"):
             p.direction,
             tuple((m, l) for (m, l, _) in p.singles),
             (tuple(p.fused[1]), p.fused[2]) if p.fused is not None else None,
+            getattr(p, "shoup", False),
         )
         return children + fused_rows, aux
     if p.small:
@@ -374,6 +429,7 @@ def _nttplan_unflatten(aux, children):
             p.fused = (children[len(shapes)], list(ls), block)
         else:
             p.fused = None
+        p.shoup = aux[5] if len(aux) > 5 else False
         return p
     p.pallas = False
     if kind == "small":

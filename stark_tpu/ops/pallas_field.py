@@ -236,34 +236,184 @@ def _butterfly_pair(spec, kind, X0, X1, TW):
     return y0, y1
 
 
-def _single_stage_kernel(spec, kind, x_ref, tw_ref, o_ref):
-    # block (L, 1, 2, w): one group-pair chunk; tw block (L, w)
+# ---------------------------------------------------------------------------
+# Shoup (precomputed-quotient) twiddle multiplication
+# ---------------------------------------------------------------------------
+#
+# For a CONSTANT multiplier w with companion w' = floor(w*R/p) (R = 2^256):
+#   q = floor_approx(w'*x / R)   (high product columns only; error <= 1)
+#   r = (w*x - q*p) mod R        (low product columns only) in [0, 3p)
+# ~1.7 full 16x16-limb products instead of Montgomery's 3. Values flow
+# LAZILY in [0, 2p); the final stage canonicalizes with one extra
+# conditional subtract. Twiddles are PLAIN (non-Montgomery): w * (xR) =
+# (wx)R keeps Montgomery data in Montgomery form.
+
+
+def _mul_cols_range(A_rows, B_rows, lo_col: int, hi_col: int):
+    """Deferred columns lo_col..hi_col of the 2L-limb product of two
+    16-bit-canonical row lists; only the needed 16x16 products are formed."""
+    Lr = len(A_rows)
+    prods = {}
+
+    def pp(i, j):
+        if (i, j) not in prods:
+            v = A_rows[i] * B_rows[j]
+            prods[(i, j)] = (v & MASK, v >> SHIFT)
+        return prods[(i, j)]
+
+    cols = []
+    for k in range(lo_col, hi_col + 1):
+        terms = []
+        for i in range(Lr):
+            j = k - i
+            if 0 <= j < Lr:
+                terms.append(pp(i, j)[0])
+            j2 = k - 1 - i
+            if 0 <= j2 < Lr:
+                terms.append(pp(i, j2)[1])
+        if not terms:
+            cols.append(jnp.zeros_like(A_rows[0]))
+            continue
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        cols.append(acc)
+    return cols
+
+
+def _carry_list(cols):
+    out, c = [], None
+    for v in cols:
+        v = v if c is None else v + c
+        out.append(v & MASK)
+        c = v >> SHIFT
+    return out
+
+
+def _cond_sub_rows(rows, mod_limbs):
+    """rows - mod if rows >= mod (16-bit limb rows, two's complement)."""
+    Lr = len(rows)
+    diff = []
+    c = jnp.ones_like(rows[0])
+    for i in range(Lr):
+        v = rows[i] + np.uint32(MASK - mod_limbs[i]) + c
+        diff.append(v & MASK)
+        c = v >> SHIFT
+    ge = c > 0
+    return [jnp.where(ge, diff[i], rows[i]) for i in range(Lr)]
+
+
+def _shoup_mul_rows(spec: FieldSpec, W, Wp, X):
+    """W, Wp: constant-twiddle row lists (plain w and floor(w*R/p)); X:
+    data rows in [0, 2p). Returns rows of (w*x mod p) in [0, 2p)."""
+    Lr = spec.num_limbs
+    qhat = _carry_list(_mul_cols_range(Wp, X, Lr - 2, 2 * Lr))[2 : 2 + Lr]
+    wx = _carry_list(_mul_cols_range(W, X, 0, Lr - 1))
+    pconst = [
+        jnp.full(X[0].shape, np.uint32(c), jnp.uint32) for c in spec.p_limbs
+    ]
+    qp = _carry_list(_mul_cols_range(qhat, pconst, 0, Lr - 1))
+    r = []
+    c = jnp.ones_like(wx[0])
+    for i in range(Lr):
+        v = wx[i] + (MASK - qp[i]) + c
+        r.append(v & MASK)
+        c = v >> SHIFT
+    return _cond_sub_rows(r, _two_p_limbs(spec))
+
+
+def _two_p_limbs(spec: FieldSpec):
+    twop = 2 * spec.p
+    return [(twop >> (SHIFT * i)) & int(MASK) for i in range(spec.num_limbs)]
+
+
+def _add_rows_lazy(spec: FieldSpec, A, B):
+    """[0,2p) + [0,2p) -> [0,2p) via one conditional subtract of 2p."""
+    out, c = [], None
+    for i in range(len(A)):
+        v = A[i] + B[i] if c is None else A[i] + B[i] + c
+        out.append(v & MASK)
+        c = v >> SHIFT
+    return _cond_sub_rows(out, _two_p_limbs(spec))
+
+
+def _sub_rows_lazy(spec: FieldSpec, A, B):
+    """(a - b) + 2p with one conditional subtract of 2p: [0,2p) in/out.
+
+    Computed as a + (2p + ~b + 1) limb-wise: the deferred column
+    2p_i + (MASK - b_i) stays < 2^18, exact in u32 with the carry chain."""
+    twop = _two_p_limbs(spec)
+    out = []
+    c = jnp.ones_like(A[0])
+    for i in range(len(A)):
+        nb = np.uint32(twop[i] + int(MASK)) - B[i]  # 2p_i + (MASK - b_i)
+        v = A[i] + nb + c
+        out.append(v & MASK)
+        c = v >> SHIFT
+    return _cond_sub_rows(out, twop)
+
+
+def _butterfly_pair_shoup(spec, kind, X0, X1, TW, TWP, canon: bool):
+    """Lazy-[0,2p) butterfly with a Shoup twiddle multiply; canon
+    canonicalizes the outputs to [0,p) (final stage)."""
+    if kind == "dif":
+        y0 = _add_rows_lazy(spec, X0, X1)
+        y1 = _cond_sub_rows(
+            _shoup_mul_rows(spec, TW, TWP, _sub_rows_lazy(spec, X0, X1)),
+            _two_p_limbs(spec),
+        )
+    else:
+        t = _shoup_mul_rows(spec, TW, TWP, X1)
+        t = _cond_sub_rows(t, _two_p_limbs(spec))
+        y0 = _add_rows_lazy(spec, X0, t)
+        y1 = _sub_rows_lazy(spec, X0, t)
+    if canon:
+        y0 = _cond_sub_p_rows(spec, y0)
+        y1 = _cond_sub_p_rows(spec, y1)
+    return y0, y1
+
+
+def _single_stage_kernel(spec, kind, shoup, canon, x_ref, tw_ref, o_ref):
+    # block (L, 1, 2, w): one group-pair chunk; tw block (L or 2L, w)
+    L = spec.num_limbs
     x0 = x_ref[:, 0, 0, :]
     x1 = x_ref[:, 0, 1, :]
-    y0, y1 = _butterfly_pair(
-        spec, kind, _rows(x0), _rows(x1), _rows(tw_ref[:])
-    )
+    tw = tw_ref[:]
+    if shoup:
+        y0, y1 = _butterfly_pair_shoup(
+            spec, kind, _rows(x0), _rows(x1),
+            [tw[i] for i in range(L)], [tw[L + i] for i in range(L)], canon,
+        )
+    else:
+        y0, y1 = _butterfly_pair(
+            spec, kind, _rows(x0), _rows(x1), _rows(tw)
+        )
     o_ref[:, 0, 0, :] = jnp.stack(y0, axis=0)
     o_ref[:, 0, 1, :] = jnp.stack(y1, axis=0)
 
 
-def butterfly_stage(spec: FieldSpec, a, tw_stage, m: int, l: int, kind: str):
+def butterfly_stage(
+    spec: FieldSpec, a, tw_stage, m: int, l: int, kind: str,
+    shoup: bool = False, canon: bool = False,
+):
     """One radix-2 stage on flat (L, n) `a` viewed as (L, m, 2, l); only for
-    l >= TILE. tw_stage: (L, l) per-position table."""
+    l >= TILE. tw_stage: (L, l) Montgomery table, or (2L, l) stacked
+    [plain ; shoup-companion] rows when `shoup`."""
     L, n = a.shape
     assert n == 2 * m * l and l % TILE == 0
+    tl = tw_stage.shape[0]
     w = TILE
     grid = (m, l // w)
     a4 = a.reshape(L, m, 2, l)
     out = pl.pallas_call(
-        functools.partial(_single_stage_kernel, spec, kind),
+        functools.partial(_single_stage_kernel, spec, kind, shoup, canon),
         out_shape=jax.ShapeDtypeStruct((L, m, 2, l), jnp.uint32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (L, 1, 2, w), lambda i, j: (0, i, 0, j), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((L, w), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tl, w), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (L, 1, 2, w), lambda i, j: (0, i, 0, j), memory_space=pltpu.VMEM
@@ -279,8 +429,9 @@ def _roll(x, shift):
     return pltpu.roll(x, shift % x.shape[1], axis=1)
 
 
-def _fused_kernel(spec, ls, block, kind, x_ref, tw_ref, o_ref):
-    """All stages with 2*l <= block in VMEM; tw_ref: (L, n_stages, block)."""
+def _fused_kernel(spec, ls, block, kind, shoup, canon, x_ref, tw_ref, o_ref):
+    """All stages with 2*l <= block in VMEM; tw_ref: (L or 2L, n_stages,
+    block). With `canon`, the LAST stage canonicalizes to [0, p)."""
     L = spec.num_limbs
     x = x_ref[:]  # (L, block)
     ids = jax.lax.broadcasted_iota(jnp.uint32, (L, block), 1)
@@ -290,7 +441,14 @@ def _fused_kernel(spec, ls, block, kind, x_ref, tw_ref, o_ref):
         u = jnp.where(bit, pair, x)
         v = jnp.where(bit, x, pair)
         tw = tw_ref[:, s, :]
-        y0, y1 = _butterfly_pair(spec, kind, _rows(u), _rows(v), _rows(tw))
+        if shoup:
+            y0, y1 = _butterfly_pair_shoup(
+                spec, kind, _rows(u), _rows(v),
+                [tw[i] for i in range(L)], [tw[L + i] for i in range(L)],
+                canon and s == len(ls) - 1,
+            )
+        else:
+            y0, y1 = _butterfly_pair(spec, kind, _rows(u), _rows(v), _rows(tw))
         y0 = jnp.stack(y0, axis=0)
         y1 = jnp.stack(y1, axis=0)
         x = jnp.where(bit, y1, y0)
@@ -306,17 +464,21 @@ def make_fused_rows(spec: FieldSpec, stage_ls, stage_tws, block: int):
     return jnp.concatenate(rows, axis=1)
 
 
-def butterfly_fused(spec: FieldSpec, a, tw_rows, stage_ls, block: int, kind: str):
+def butterfly_fused(
+    spec: FieldSpec, a, tw_rows, stage_ls, block: int, kind: str,
+    shoup: bool = False, canon: bool = False,
+):
     """Run the small-l stage run in one kernel. a: flat (L, n)."""
     L, n = a.shape
+    tl = tw_rows.shape[0]
     return pl.pallas_call(
-        functools.partial(_fused_kernel, spec, stage_ls, block, kind),
+        functools.partial(_fused_kernel, spec, stage_ls, block, kind, shoup, canon),
         out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
         grid=(n // block,),
         in_specs=[
             pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (L, len(stage_ls), block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (tl, len(stage_ls), block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM),
