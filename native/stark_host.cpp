@@ -404,6 +404,20 @@ int stark_arithmetize(uint64_t n_constraints, const uint32_t* ncoeffs,
                       uint8_t* f1_out, uint8_t* f2_out, uint64_t* perm_out,
                       uint64_t* last_out, uint64_t* pub_first_out,
                       uint64_t* n_pub_found_out) {
+  // The .r1cs file is untrusted input: every wire_id indexes prev_use /
+  // wit_mont / wit_le below, so an out-of-range id would be an OOB
+  // read/write. Validate up front and fail loudly (the Python wrapper
+  // turns nonzero codes into ValueError). The reference panics on the
+  // same input (run.rs:159 indexes witness[wire_id]).
+  if (n_wires == 0) return 10;
+  {
+    uint64_t total = 0;
+    for (uint64_t i = 0; i < 3 * n_constraints; i++) total += ncoeffs[i];
+    for (uint64_t i = 0; i < total; i++) {
+      if (wire_ids[i] >= n_wires) return 11;
+    }
+  }
+
   MontCtx ctx;
   mont_init(ctx, p_le);
 

@@ -113,14 +113,28 @@ def _balanced_digits(v: int, base: int, n: int):
 
 
 def _fold_count(bound_bits: int, dmax_bits: int = 10) -> int:
-    """Folds of x -> (x>>14)*delta + (x & (2^14-1)) to get below 2^16."""
+    """Folds of x -> (x>>14)*delta + (x & (2^14-1)) to get below 2^16.
+
+    The two conditional subtracts after the fold chain can only
+    canonicalize values below ~3q, so a chain that fails to converge must
+    fail loudly here (at basis-construction time), not produce silently
+    wrong residues downstream."""
     b, c = bound_bits, 0
     while b >= 16:
-        b = max(b - QBITS + dmax_bits, QBITS) + 1
-        c += 1
-        if c > 8:
-            break
+        nb = max(b - QBITS + dmax_bits, QBITS) + 1
+        if nb >= b:
+            raise ValueError(
+                f"CRT fold chain does not converge: bound 2^{bound_bits} "
+                f"stuck at 2^{b} after {c} folds (dmax_bits={dmax_bits})"
+            )
+        b, c = nb, c + 1
     return c
+
+
+# Byte-plane order in `reduce_in` is [lo0..lo15, hi0..hi15]; the C matrix
+# rows are for bytes [b0 of limb0, b1 of limb0, ...] = interleaved. This
+# permutation maps between them; it is instance-independent.
+_BYTE_PERM = np.concatenate([np.arange(0, 32, 2), np.arange(1, 32, 2)])
 
 
 class CrtBasis:
@@ -230,20 +244,11 @@ class CrtBasis:
         raw = D0.astype(jnp.int32) + (D1.astype(jnp.int32) << 7)
         return self.fold_signed(raw, 27)
 
-    @functools.lru_cache(maxsize=None)
-    def _perm(self):
-        # byte plane order above is [lo0..lo15, hi0..hi15]; C rows are for
-        # bytes [b0 of limb0, b1 of limb0, ...] = interleaved -> permute
-        idx = np.empty(32, np.int64)
-        idx[0:16] = np.arange(0, 32, 2)  # lo bytes sit at even positions
-        idx[16:32] = np.arange(1, 32, 2)
-        return idx
-
     def C0_perm(self):
-        return self.C0[:, self._perm()]
+        return self.C0[:, _BYTE_PERM]
 
     def C1_perm(self):
-        return self.C1[:, self._perm()]
+        return self.C1[:, _BYTE_PERM]
 
     def chunk(self, r_u32):
         """Residues [0, q) -> two unsigned 7-bit bf16 planes (exact)."""

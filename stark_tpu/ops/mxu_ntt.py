@@ -25,6 +25,8 @@ nz1 = steps/n2 nonzero rows.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -316,8 +318,10 @@ def make_ntt_plan_cached(
             bw1=_np.asarray(plan.plan_b.W1.astype(jnp.float32)),
             tw=_np.asarray(plan.twiddle),
         )
-    except Exception:
-        pass
+    except OSError as e:
+        # best-effort plan cache: a read-only/full disk must not break the
+        # prover, but anything else (shape/dtype bugs) should surface
+        warnings.warn(f"mxu plan cache write failed: {e}")
     return plan
 
 

@@ -154,13 +154,17 @@ def verify_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
 
 
 def run_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
-    """prove + serialize + verify, like run.rs:590-625 (including the quirky
-    witness JSON dump to ./tests/sha256_2_test.wtns.json, run.rs:609-611)."""
+    """prove + serialize + verify, like run.rs:590-625.
+
+    The reference also dumps the witness JSON to a hardcoded
+    ./tests/sha256_2_test.wtns.json (run.rs:609-611); that quirk mutates
+    checked-in content when run from a repo root, so it is opt-in here via
+    STARK_TPU_WTNS_DUMP=1 (proof bytes do not depend on it)."""
     r1cs = read_r1cs(_read(r1cs_path))
     witness = read_witness(_read(witness_path))
 
-    wtns_json_path = "./tests/sha256_2_test.wtns.json"
-    if os.path.isdir("./tests"):
+    if os.environ.get("STARK_TPU_WTNS_DUMP") == "1" and os.path.isdir("./tests"):
+        wtns_json_path = "./tests/sha256_2_test.wtns.json"
         ints = [int.from_bytes(w, "little") for w in witness]
         with open(wtns_json_path, "w") as f:
             f.write("[" + ", ".join(str(v) for v in ints) + "]")

@@ -92,3 +92,24 @@ def test_arithmetize_matches_python(name):
     assert got.permuted_indices.tolist() == want.permuted_indices
     assert got.last_coeff_list.tolist() == want.last_coeff_list
     assert got.public_first_indices == want.public_first_indices
+
+
+def test_arithmetize_rejects_out_of_range_wire_ids():
+    """A malformed .r1cs with wire_id >= n_wires must raise, not OOB
+    (the reference Rust path panics on the same input; run.rs:159)."""
+    r1cs_bytes, wtns_bytes = _load("compute")
+    flat = native.read_r1cs_flat(r1cs_bytes)
+    wit_np = native.read_witness_flat(wtns_bytes)
+    n_pub = 2
+    p_le = spec.p.to_bytes(32, "little")
+
+    bad = native.FlatR1cs(**{**flat.__dict__})
+    bad.wire_ids = flat.wire_ids.copy()
+    bad.wire_ids[0] = flat.n_wires + 1000
+    with pytest.raises(ValueError):
+        native.arithmetize_flat(bad, wit_np, p_le, n_pub)
+
+    empty = native.FlatR1cs(**{**flat.__dict__})
+    empty.n_wires = 0
+    with pytest.raises(ValueError):
+        native.arithmetize_flat(empty, None, p_le, n_pub)
