@@ -74,6 +74,33 @@ def div_polys(spec: FieldSpec, a, b):
     return out
 
 
+def reduction_poly(spec: FieldSpec, a, n: int):
+    # fold coefficients mod (X^n - 1) (poly_utils.rs:178-185)
+    out = [0] * n
+    for i, c in enumerate(a):
+        out[i % n] = (out[i % n] + c) % spec.p
+    return out
+
+
+def mod_polys(spec: FieldSpec, a, b):
+    # remainder of a / b, length len(b)-1 (poly_utils.rs:291-295)
+    rem = sub_polys(spec, a, mul_polys(spec, b, div_polys(spec, a, b)))
+    return rem[: len(b) - 1]
+
+
+def sparse(spec: FieldSpec, coeff_dict):
+    # dense polynomial from {degree: coeff} (poly_utils.rs:330-336)
+    out = [0] * (max(coeff_dict) + 1)
+    for k, v in coeff_dict.items():
+        out[k] = v % spec.p
+    return out
+
+
+def poly_scale(spec: FieldSpec, a, n: int):
+    # multiply by X^n (poly_utils.rs:228-232)
+    return [0] * n + list(a)
+
+
 def zpoly(spec: FieldSpec, xs):
     # vanishing polynomial prod (X - x_i) (poly_utils.rs:362-373)
     root = [1]

@@ -158,3 +158,26 @@ def test_two_level_matches_single_level():
     got = np.asarray(nttmod._dit_fast(spec, a, plan_dit))
     want = np.asarray(nttmod._dit_core(spec, a, w_half))
     assert np.array_equal(got, want)
+
+
+def test_reduction_poly_f7_kats():
+    # poly_utils.rs:187-200
+    assert ph.reduction_poly(F7, [4, 2, 0, 1, 3, 2], 4) == [0, 4, 0, 1]
+    assert ph.reduction_poly(F7, [4, 2], 4) == [4, 2, 0, 0]
+
+
+def test_mod_polys_f7_kats():
+    # poly_utils.rs:297-327
+    assert ph.mod_polys(F7, [5, 4, 3, 3, 1, 2], [6, 1, 2]) == [2, 2]
+    assert ph.mod_polys(F7, [5, 2, 3, 3, 1, 2], [6, 1, 2]) == [2, 0]
+    assert ph.mod_polys(F7, [3, 2, 3, 3, 1, 2], [6, 1, 2]) == [0, 0]
+
+
+def test_sparse_f7_kats():
+    # poly_utils.rs:338-358
+    assert ph.sparse(F7, {1: 3, 5: 1}) == [0, 3, 0, 0, 0, 1]
+    assert ph.sparse(F7, {1: 3, 5: 1, 6: 0}) == [0, 3, 0, 0, 0, 1, 0]
+
+
+def test_poly_scale():
+    assert ph.poly_scale(F7, [4, 2], 2) == [0, 0, 4, 2]

@@ -1,0 +1,85 @@
+"""Byte-parity tests: the production prover must emit JSON byte-identical
+to the independent pure-Python oracle (`tests/parity_oracle.py`).
+
+This is the only check in the repo that can catch *symmetric* deviations
+from the reference semantics (run.rs / prove.rs / fri.rs): the oracle
+shares no code with `stark_tpu`, so both pipelines agreeing byte-for-byte
+means two independent readings of the reference produced the same
+transcript, leaf layouts, and serde layout.
+
+The committed golden (`tests/fixtures/compute_proof_golden.json`) pins the
+agreed output; both sides are checked against it.
+"""
+
+import json
+import os
+
+import pytest
+
+import parity_oracle as oracle
+from stark_tpu.protocol import proof as proof_mod
+from stark_tpu.protocol import runner
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+GOLDEN = os.path.join(FIXTURES, "compute_proof_golden.json")
+
+
+def _fixture_bytes(name):
+    with open(os.path.join(FIXTURES, f"{name}.r1cs"), "rb") as f:
+        r1cs = f.read()
+    with open(os.path.join(FIXTURES, f"{name}.wtns"), "rb") as f:
+        wtns = f.read()
+    return r1cs, wtns
+
+
+def test_oracle_matches_golden():
+    """Guards the oracle itself against accidental edits."""
+    r1cs, wtns = _fixture_bytes("compute")
+    got = oracle.prove_fixture(r1cs, wtns)
+    with open(GOLDEN) as f:
+        assert got == f.read()
+
+
+def test_prover_matches_golden(tmp_path):
+    """The production prover's JSON is byte-identical to the oracle's."""
+    out = str(tmp_path / "compute_proof.json")
+    runner.prove_with_file_path(
+        os.path.join(FIXTURES, "compute.r1cs"),
+        os.path.join(FIXTURES, "compute.wtns"),
+        out,
+    )
+    with open(out) as f:
+        got = f.read()
+    with open(GOLDEN) as f:
+        assert got == f.read()
+
+
+def test_verifier_accepts_golden():
+    """The production verifier accepts the oracle-generated proof."""
+    from stark_tpu.r1cs.reader import read_r1cs, read_witness
+
+    r1cs_bytes, wtns_bytes = _fixture_bytes("compute")
+    r1cs = read_r1cs(r1cs_bytes)
+    witness = read_witness(wtns_bytes)
+    with open(GOLDEN) as f:
+        proof = proof_mod.from_json(f.read())
+    n_pub = 1 + r1cs.header.n_public_inputs + r1cs.header.n_public_outputs
+    assert runner.verify_with_witness(r1cs, witness[:n_pub], proof)
+
+
+@pytest.mark.slow
+def test_prover_matches_oracle_poseidon3(tmp_path):
+    """Second circuit (steps=8192, precision=65536): live oracle-vs-prover
+    byte comparison, exercising multi-round FRI and real-scale transcripts."""
+    r1cs_bytes, wtns_bytes = _fixture_bytes("poseidon3_test")
+    want = oracle.prove_fixture(r1cs_bytes, wtns_bytes)
+    out = str(tmp_path / "poseidon3_proof.json")
+    runner.prove_with_file_path(
+        os.path.join(FIXTURES, "poseidon3_test.r1cs"),
+        os.path.join(FIXTURES, "poseidon3_test.wtns"),
+        out,
+    )
+    with open(out) as f:
+        got = f.read()
+    assert json.loads(got)["m_root"] == json.loads(want)["m_root"]
+    assert got == want
