@@ -137,91 +137,170 @@ def lde_local(
     )
 
 
+def _make_domain(spec: FieldSpec, mesh: Mesh, steps: int, precision: int):
+    """Shared host-side domain constants for the sharded stages."""
+    d = mesh.devices.size
+    skips = precision // steps
+    p = spec.p
+    g2 = spec.root_of_unity(precision)
+    g1 = pow(g2, skips, p)
+    omega = pow(g2, steps, p)
+    return {
+        "d": d,
+        "skips": skips,
+        "g1": g1,
+        "g2": g2,
+        "steps_tabs_inv": ntt4.make_tables(spec, g1, steps, d, inverse=True),
+        "prec_tabs": ntt4.make_tables(spec, g2, precision, d),
+        "n_inv": mm.mont_const(spec, spec.inv(steps)),
+        "inv_z_scalars": [0]
+        + [pow((pow(omega, t, p) - 1) % p, p - 2, p) for t in range(1, skips)],
+        "pow_scalars": [pow(omega, t, p) for t in range(skips)],
+        "x_last": pow(g2, precision - skips, p),
+    }
+
+
+def _columns_body(
+    spec, dom, steps, precision, original_steps, axis,
+    traces, xs_local, r_mont, i2_mont, pubx_mont,
+):
+    """Per-device body computing the 8 m-tree columns (everything up to but
+    excluding the linear combination, which needs the m-root transcript
+    round trip). Returns (cols dict, q_bad divisibility flags)."""
+    d, skips = dom["d"], dom["skips"]
+    kshift = original_steps // 3 * skips
+    lde = lambda t: lde_local(
+        spec, t, axis, d, dom["steps_tabs_inv"], dom["prec_tabs"], dom["n_inv"], skips
+    )
+    k_ev = lde(traces["k"])
+    f0_ev = lde(traces["f0"])
+    f1_ev = lde(traces["f1"])
+    f2_ev = lde(traces["f2"])
+    s_ev = lde(traces["s"])
+    p_ev = lde(traces["p"])
+    idx_ev = lde(traces["idx"])
+    perm_ev = lde(traces["perm"])
+
+    # accumulator on the small domain: needs a GLOBAL prefix product ->
+    # gather the small domain (8x smaller), compute replicated, shard back
+    s_small = jax.lax.all_gather(traces["s"], axis, axis=1, tiled=True)
+    idx_small = jax.lax.all_gather(traces["idx"], axis, axis=1, tiled=True)
+    perm_small = jax.lax.all_gather(traces["perm"], axis, axis=1, tiled=True)
+    vn, vd_ = kernels.rand_combination(spec, r_mont, idx_small, perm_small, s_small)
+    a_mini = kernels.accumulator_mini(spec, vn, vd_)
+    me = jax.lax.axis_index(axis)
+    a_local = jax.lax.dynamic_slice_in_dim(a_mini, me * (steps // d), steps // d, 1)
+    a_ev = lde(a_local)
+
+    q1 = _q1_local(spec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips, axis, d)
+    q2 = _q2_local(spec, p_ev, f2_ev, kshift, axis, d)
+    vn_big, vd_big = kernels.rand_combination(spec, r_mont, idx_ev, perm_ev, s_ev)
+    q3 = _q3_local(spec, a_ev, vn_big, vd_big, skips, axis, d)
+
+    # divisibility flags (utils.rs:379-418): Q must vanish where Z does.
+    # Local chunk size is a multiple of skips, so local ::skips positions are
+    # exactly the global ones.
+    q_bad = jnp.stack(
+        [
+            jax.lax.psum(jnp.any(q[:, ::skips] != 0).astype(jnp.uint32), axis)
+            for q in (q1, q2, q3)
+        ]
+    )
+
+    inv_z = jnp.tile(
+        mm.mont_consts(spec, dom["inv_z_scalars"]), (1, precision // d // skips)
+    )
+    d1 = mm.mmul(spec, q1, inv_z)
+    d2 = mm.mmul(spec, q2, inv_z)
+    d3 = mm.mmul(spec, q3, inv_z)
+
+    i2_ev = kernels.horner_eval(spec, i2_mont, xs_local)
+    one_big = jnp.broadcast_to(mm.mont_one(spec), s_ev.shape)
+    zb2 = kernels.vanishing_eval(spec, xs_local, pubx_mont)
+    zb3 = mm.msub(
+        spec,
+        xs_local,
+        jnp.broadcast_to(mm.mont_const(spec, dom["x_last"]), xs_local.shape),
+    )
+    # batched inversion needs global products: use elementwise Fermat
+    # locally instead (no cross-device dependence)
+    b2_ev = mm.mmul(spec, mm.msub(spec, s_ev, i2_ev), mm.minv(spec, zb2))
+    b3_ev = mm.mmul(spec, mm.msub(spec, a_ev, one_big), mm.minv(spec, zb3))
+
+    cols = {
+        "p": p_ev, "a": a_ev, "s": s_ev,
+        "d1": d1, "d2": d2, "d3": d3, "b2": b2_ev, "b3": b3_ev,
+    }
+    return cols, q_bad
+
+
+_COL_NAMES = ("p", "a", "s", "d1", "d2", "d3", "b2", "b3")
+
+
+def build_sharded_columns_step(
+    spec: FieldSpec, mesh: Mesh, steps: int, precision: int, original_steps: int
+):
+    """Jitted fn(traces, xs_local, r_mont, i2_mont, pubx_mont) -> (cols,
+    q_bad): the m-tree columns as GLOBAL arrays sharded on the domain axis,
+    for the full sharded prover (`parallel/prove_full.py`) which commits
+    trees / runs FRI on them outside the shard_map."""
+    dom = _make_domain(spec, mesh, steps, precision)
+    axis = "d"
+
+    def body(traces, xs_local, r_mont, i2_mont, pubx_mont):
+        return _columns_body(
+            spec, dom, steps, precision, original_steps, axis,
+            traces, xs_local, r_mont, i2_mont, pubx_mont,
+        )
+
+    sharded = P(None, axis)
+    in_specs = (
+        {k: sharded for k in ["k", "f0", "f1", "f2", "s", "p", "idx", "perm"]},
+        sharded,  # xs_local
+        P(None, None),  # r_mont
+        P(None, None),  # i2 coeffs
+        P(None, None),  # public xs
+    )
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=({k: sharded for k in _COL_NAMES}, P(None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def build_sharded_prover_step(
     spec: FieldSpec, mesh: Mesh, steps: int, precision: int, original_steps: int
 ):
-    """Returns (jitted_fn, prepare_inputs) computing the prover core over the
-    mesh: 8 sharded LDEs + accumulator + quotients + boundaries + linear
+    """Returns a jitted fn computing the prover core over the mesh: 8
+    sharded LDEs + accumulator + quotients + boundaries + linear
     combination + m/l Merkle roots.
 
     The jitted function takes Montgomery small-domain traces sharded on the
     steps domain plus transcript scalars, and returns (m_root_words,
     l_root_words, l_evaluations) -- the host transcript drives the rest.
     """
-    d = mesh.devices.size
-    skips = precision // steps
-    kshift = original_steps // 3 * skips
-    p = spec.p
-    g2 = spec.root_of_unity(precision)
-    g1 = pow(g2, skips, p)
-
-    steps_tabs_inv = ntt4.make_tables(spec, g1, steps, d, inverse=True)
-    prec_tabs = ntt4.make_tables(spec, g2, precision, d)
-    n_inv = mm.mont_const(spec, spec.inv(steps))
-    omega = pow(g2, steps, p)
-    inv_z_scalars = [0] + [
-        pow((pow(omega, t, p) - 1) % p, p - 2, p) for t in range(1, skips)
-    ]
-    pow_scalars = [pow(omega, t, p) for t in range(skips)]
-    x_last = pow(g2, precision - skips, p)
-
+    dom = _make_domain(spec, mesh, steps, precision)
+    d, skips = dom["d"], dom["skips"]
     axis = "d"
 
     def body(traces, xs_local, r_mont, k_mont, i2_mont, pubx_mont):
         # traces: dict of (L, steps/d) small-domain Montgomery chunks
-        lde = lambda t: lde_local(
-            spec, t, axis, d, steps_tabs_inv, prec_tabs, n_inv, skips
+        cols, _ = _columns_body(
+            spec, dom, steps, precision, original_steps, axis,
+            traces, xs_local, r_mont, i2_mont, pubx_mont,
         )
-        k_ev = lde(traces["k"])
-        f0_ev = lde(traces["f0"])
-        f1_ev = lde(traces["f1"])
-        f2_ev = lde(traces["f2"])
-        s_ev = lde(traces["s"])
-        p_ev = lde(traces["p"])
-        idx_ev = lde(traces["idx"])
-        perm_ev = lde(traces["perm"])
-
-        # accumulator on the small domain: needs a GLOBAL prefix product ->
-        # gather the small domain (8x smaller), compute replicated, shard back
-        s_small = jax.lax.all_gather(traces["s"], axis, axis=1, tiled=True)
-        idx_small = jax.lax.all_gather(traces["idx"], axis, axis=1, tiled=True)
-        perm_small = jax.lax.all_gather(traces["perm"], axis, axis=1, tiled=True)
-        vn, vd_ = kernels.rand_combination(spec, r_mont, idx_small, perm_small, s_small)
-        a_mini = kernels.accumulator_mini(spec, vn, vd_)
-        me = jax.lax.axis_index(axis)
-        a_local = jax.lax.dynamic_slice_in_dim(a_mini, me * (steps // d), steps // d, 1)
-        a_ev = lde(a_local)
-
-        q1 = _q1_local(spec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips, axis, d)
-        q2 = _q2_local(spec, p_ev, f2_ev, kshift, axis, d)
-        vn_big, vd_big = kernels.rand_combination(spec, r_mont, idx_ev, perm_ev, s_ev)
-        q3 = _q3_local(spec, a_ev, vn_big, vd_big, skips, axis, d)
-
-        inv_z = jnp.tile(mm.mont_consts(spec, inv_z_scalars), (1, precision // d // skips))
-        d1 = mm.mmul(spec, q1, inv_z)
-        d2 = mm.mmul(spec, q2, inv_z)
-        d3 = mm.mmul(spec, q3, inv_z)
-
-        i2_ev = kernels.horner_eval(spec, i2_mont, xs_local)
-        one_big = jnp.broadcast_to(mm.mont_one(spec), s_ev.shape)
-        zb2 = kernels.vanishing_eval(spec, xs_local, pubx_mont)
-        zb3 = mm.msub(
-            spec, xs_local, jnp.broadcast_to(mm.mont_const(spec, x_last), xs_local.shape)
+        x_to_steps = jnp.tile(
+            mm.mont_consts(spec, dom["pow_scalars"]), (1, precision // d // skips)
         )
-        # batched inversion needs global products: use elementwise Fermat
-        # locally instead (no cross-device dependence)
-        b2_ev = mm.mmul(spec, mm.msub(spec, s_ev, i2_ev), mm.minv(spec, zb2))
-        b3_ev = mm.mmul(spec, mm.msub(spec, a_ev, one_big), mm.minv(spec, zb3))
-
-        x_to_steps = jnp.tile(mm.mont_consts(spec, pow_scalars), (1, precision // d // skips))
         l_ev = kernels.linear_combination(
-            spec, k_mont, x_to_steps, p_ev, a_ev, s_ev, d1, d2, d3, b2_ev, b3_ev
+            spec, k_mont, x_to_steps, *[cols[n] for n in _COL_NAMES]
         )
 
         # Merkle roots on-device (leaf bytes built with limb ops)
-        m_leaf_words = _leaves_to_words(
-            spec, [p_ev, a_ev, s_ev, d1, d2, d3, b2_ev, b3_ev]
-        )
+        m_leaf_words = _leaves_to_words(spec, [cols[n] for n in _COL_NAMES])
         m_root = merkle_root_words(spec, m_leaf_words, 256, axis, d)
         l_leaf_words = _leaves_to_words(spec, [l_ev])
         l_root = merkle_root_words(spec, l_leaf_words, 32, axis, d)
