@@ -64,13 +64,16 @@ def test_pallas_ntt_matches_xla(monkeypatch):
 
 def test_pallas_stage_partition(monkeypatch):
     """Sizes large enough to exercise the strided single-stage kernels
-    (2*l > block) alongside the fused run, with a tiny TILE override."""
+    (l >= TILE) alongside the fused tail, at the production TILE.
+
+    (A tiny-TILE override would shrink the kernel's last block dimension
+    below Mosaic's 128-lane divisibility requirement -- a configuration
+    the production dispatcher never generates.)"""
     from stark_tpu.ops import ntt as nttm
 
     monkeypatch.setenv("STARK_TPU_PALLAS", "1")
-    monkeypatch.setattr(pf, "TILE", 8)
     rng = random.Random(7)
-    n = 128  # stages l=64,32,16 standalone; l=8..1 fused (block=16)
+    n = 4 * pf.TILE  # stages l=2*TILE, TILE standalone; l<TILE fused
     vals = [rng.randrange(spec.p) for _ in range(n)]
     root = spec.root_of_unity(n)
     a = _mont(vals)
