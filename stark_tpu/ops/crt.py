@@ -296,8 +296,14 @@ def _reconstruct_math(consts, G, negM_dig, NB, PB, s_u32, dot):
     s_u32: (P+1, T); returns (16, T) canonical limbs of X*R^-1 mod p."""
     P, qr_i, delta_r_i, minv_qr_i, dmax_bits, p_limbs16 = consts
     dt = _mat_dtype()
-    s0 = (s_u32 & 127).astype(dt)
-    s1 = (s_u32 >> 7).astype(dt)
+
+    def to_dt(x):
+        # Mosaic has no direct (u)int -> bf16 cast; hop through f32
+        # (exact: all digit values < 2^8). No-op chain under XLA.
+        return x.astype(jnp.int32).astype(jnp.float32).astype(dt)
+
+    s0 = to_dt(s_u32 & 127)
+    s1 = to_dt(s_u32 >> 7)
     D0 = dot(G, s0[:P])  # (ND+2, T) f32, exact
     D1 = dot(G, s1[:P])
     # wrap count k via the redundant lane
@@ -319,9 +325,9 @@ def _reconstruct_math(consts, G, negM_dig, NB, PB, s_u32, dot):
     )
     y = _carry_digits(cols, ND + 1)  # (ND+1, T) bytes of Y >= 0
     # REDC: m = (Y mod R)*N' mod R; u = (Y + m*p) / R
-    m_cols = dot(NB, y[:32].astype(dt)).astype(jnp.int32)
+    m_cols = dot(NB, to_dt(y[:32])).astype(jnp.int32)
     m = _carry_digits(m_cols, 32, trunc=True)
-    u_pb = dot(PB, m.astype(dt)).astype(jnp.int32)
+    u_pb = dot(PB, to_dt(m)).astype(jnp.int32)
     y_pad = jnp.concatenate(
         [
             y.astype(jnp.int32),
@@ -330,8 +336,15 @@ def _reconstruct_math(consts, G, negM_dig, NB, PB, s_u32, dot):
         axis=0,
     )
     u = _carry_digits(u_pb + y_pad, 66)
-    limbs = u[32:64:2].astype(jnp.uint32) + (
-        u[33:64:2].astype(jnp.uint32) << 8
+    # static per-row indexing (a step-2 strided slice lowers to an
+    # unsupported gather under Mosaic)
+    limbs = jnp.stack(
+        [
+            u[32 + 2 * i].astype(jnp.uint32)
+            + (u[33 + 2 * i].astype(jnp.uint32) << 8)
+            for i in range(16)
+        ],
+        axis=0,
     )
     return _cond_sub_p(limbs, p_limbs16)
 
