@@ -36,11 +36,11 @@ def worker(proc_id: int, n_procs: int, devices_per_proc: int, port: int) -> None
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_stark")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # NOTE: deliberately NOT enabling the persistent compile cache here.
+    # Cache hits load AOT results whose machine-feature stamps mismatch
+    # this host (cpu_aot_loader warnings) and, worse, make one worker
+    # reach the first collective tens of seconds before the other, blowing
+    # gloo's 30 s connectFullMesh window.
     from stark_tpu.parallel import distributed as dist
 
     dist.initialize(

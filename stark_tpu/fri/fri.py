@@ -14,8 +14,10 @@ Proof layout mirrors `FriProof` (`fri.rs:17-26`): a list of Middle rounds
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,6 +62,48 @@ def _fold_xsets(arr, quarter: int):
     return jnp.moveaxis(arr.reshape(L, 4, quarter), 1, 2)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _commit_j(spec: FieldSpec, values_mont):
+    """One dispatch: canonical leaf words + every tree layer."""
+    words = _value_words(spec, values_mont)
+    return words, mt._build_layers(words, 32)
+
+
+def _commit_tree(spec: FieldSpec, values_mont) -> mt.DeviceMerkleTree:
+    words, layers = _commit_j(spec, values_mont)
+    return mt.DeviceMerkleTree(words, 32, list(layers))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fold_j(spec: FieldSpec, values, xs, sx):
+    """One dispatch: the whole 4x quartic fold at special_x.
+
+    Path chosen at trace time: fused Pallas pre/post kernels for big
+    rounds on TPU, batched XLA quartic interpolation otherwise (identical
+    values; asserted equal on device by tests/test_pallas_protocol.py)."""
+    from stark_tpu.protocol.kernels import _pk
+
+    n = values.shape[1]
+    quarter = n // 4
+    L = values.shape[0]
+    if _pk(quarter) and quarter >= (1 << 14):
+        from stark_tpu.protocol import pallas_kernels as pkm
+
+        xs4 = xs.reshape(L, 4, quarter)
+        ys4 = values.reshape(L, 4, quarter)
+        eqs, dens = pkm.fri_fold_pre(spec, xs4)
+        invs = mm.multi_inv(spec, dens.reshape(L, 4 * quarter)).reshape(
+            L, 4, quarter
+        )
+        return pkm.fri_fold_post(spec, sx[:, :, 0], eqs, ys4, invs)
+    xsets = _fold_xsets(xs, quarter)
+    ysets = _fold_xsets(values, quarter)
+    polys = quartic.multi_interp_4(spec, xsets, ysets)
+    return quartic.eval_quartic_batch(
+        spec, polys, jnp.broadcast_to(sx[:, :, 0], (L, quarter))
+    )
+
+
 def prove_low_degree(
     spec: FieldSpec,
     values_mont,
@@ -67,6 +111,7 @@ def prove_low_degree(
     max_deg_plus_1: int,
     exclude_multiples_of: int = 0,
     deg_direct_checking: int = MIN_DEG_DIRECT_CHECKING,
+    first_tree: mt.DeviceMerkleTree | None = None,
 ):
     """Prove the (L, N) Montgomery evaluations have degree < max_deg_plus_1.
 
@@ -74,64 +119,63 @@ def prove_low_degree(
     of this level; recursion strides it by 4 per round, replacing the
     reference's per-round `expand_root_of_unity`, `fri.rs:84`).
     Follows `prove_low_degree_rec` (`fri.rs:64-224`).
+
+    `first_tree`: the caller's committed tree over the SAME values with
+    32-byte leaves, if it has one (the prover's l_tree; the reference
+    recommits identical content at `fri.rs:128-131`, producing the same
+    root, so reusing it changes no byte of the proof).
+
+    The transcript loop only does the commits and folds (two tiny
+    root transfers per round); branch gathering is deferred to one batch
+    at the end -- queries depend only on the already-derived roots.
     """
     assert deg_direct_checking >= MIN_DEG_DIRECT_CHECKING
-    proof: list[FriMiddle | FriLast] = []
     values = values_mont
     xs = xs_full
+    middles = []  # (m_tree, m2_tree, ys, poly_positions)
     while True:
         n = values.shape[1]
         if max_deg_plus_1 <= deg_direct_checking:
             # base case (fri.rs:88-112): emit all values; the degree bound is
             # the verifier's job (the reference only debug-asserts it here)
             leaves = _canonical_bytes(spec, values)
-            proof.append(FriLast([leaves[i].tobytes() for i in range(n)]))
-            return proof
+            last = FriLast([leaves[i].tobytes() for i in range(n)])
+            break
 
-        m_tree = mt.commit_words(_value_words(spec, values), 32)
+        # this round's value tree: round 0 can reuse the caller's l_tree,
+        # every later round's values ARE the previous round's column, whose
+        # tree (m2) is already committed -- same leaves, same root
+        m_tree = first_tree if first_tree is not None else _commit_tree(spec, values)
+        first_tree = None
         special_x = spec.from_bytes_le(m_tree.root)  # fri.rs:135
         sx = mm.mont_consts(spec, [special_x])[:, :, None]  # (L, 1, 1)
 
         quarter = n // 4
-        from stark_tpu.protocol.kernels import _pk
+        column = _fold_j(spec, values, xs, sx)
 
-        # pallas fold only for the big rounds: each distinct round size
-        # compiles its own kernels (no effective cross-process compile
-        # cache on the remote backend), and sub-2^14 rounds are already
-        # sub-5ms on the XLA path
-        if _pk(quarter) and quarter >= (1 << 14):
-            # fused Pallas fold: eq cubics + denominators, one shared batch
-            # inversion, then combine+evaluate at special_x in one pass
-            from stark_tpu.protocol import pallas_kernels as pkm
-
-            L = values.shape[0]
-            xs4 = xs.reshape(L, 4, quarter)
-            ys4 = values.reshape(L, 4, quarter)
-            eqs, dens = pkm.fri_fold_pre(spec, xs4)
-            invs = mm.multi_inv(spec, dens.reshape(L, 4 * quarter)).reshape(
-                L, 4, quarter
-            )
-            column = pkm.fri_fold_post(spec, sx[:, :, 0], eqs, ys4, invs)
-        else:
-            xsets = _fold_xsets(xs, quarter)
-            ysets = _fold_xsets(values, quarter)
-            polys = quartic.multi_interp_4(spec, xsets, ysets)
-            column = quartic.eval_quartic_batch(
-                spec, polys, jnp.broadcast_to(sx[:, :, 0], (sx.shape[0], quarter))
-            )
-
-        m2_tree = mt.commit_words(_value_words(spec, column), 32)
+        m2_tree = _commit_tree(spec, column)
         ys = ts.get_pseudorandom_indices(
             m2_tree.root, quarter, QUERIES_PER_ROUND, exclude_multiples_of
         )
-        column_branches = m2_tree.gen_proofs(ys)
         poly_positions = [y + quarter * j for y in ys for j in range(4)]
-        poly_branches = m_tree.gen_proofs(poly_positions)
-        proof.append(FriMiddle(m2_tree.root, column_branches, poly_branches))
+        middles.append((m_tree, m2_tree, ys, poly_positions))
 
         values = column
+        first_tree = m2_tree  # next round's value tree, already committed
         xs = xs[:, ::4]
         max_deg_plus_1 //= 4
+
+    requests = []
+    for (m_tree, m2_tree, ys, poly_positions) in middles:
+        requests.append((m2_tree, ys))
+        requests.append((m_tree, poly_positions))
+    branch_sets = mt.gen_proofs_many(requests)
+    proof: list[FriMiddle | FriLast] = [
+        FriMiddle(m2_tree.root, branch_sets[2 * i], branch_sets[2 * i + 1])
+        for i, (m_tree, m2_tree, ys, poly_positions) in enumerate(middles)
+    ]
+    proof.append(last)
+    return proof
 
 
 def verify_low_degree_proof(

@@ -141,37 +141,57 @@ class DeviceMerkleTree:
             )
         return self._root
 
-    def gen_proofs(self, indices) -> list[MerkleProof]:
-        """Sibling walk per index; all gathers on device, TWO host
-        transfers total (leaves + all sibling layers concatenated)."""
+    def _gather_device(self, indices):
+        """Device-side gather of (leaves || sibling path) for `indices`;
+        returns the flat (W + 8*depth, k) device array (no host sync)."""
         idx = np.asarray([int(i) for i in indices], dtype=np.int64)
-        k = len(idx)
-        leaf_cols = np.asarray(self.leaf_words[:, idx]).astype("<u4")  # (W, k)
-        gathered = []
+        gathered = [self.leaf_words[:, jnp.asarray(idx)]]  # (W, k)
         t = idx.copy()
         for layer in self.layers[:-1]:
             gathered.append(layer[:, jnp.asarray(t ^ 1)])
             t //= 2
-        depth = len(gathered)
-        if depth:
-            allsibs = np.asarray(jnp.concatenate(gathered, axis=1)).astype(
-                "<u4"
-            )  # (8, depth*k)
+        return jnp.concatenate(gathered, axis=0)
+
+    def _proofs_from_flat(self, flat: np.ndarray, k: int) -> list[MerkleProof]:
+        W = self.leaf_words.shape[0]
+        depth = (flat.shape[0] - W) // 8
+        leaf_cols = flat[:W]
         proofs = []
         for j in range(k):
             leaf = leaf_cols[:, j].tobytes()[: self.leaf_bytes]
             nodes = [
-                allsibs[:, d * k + j].tobytes() for d in range(depth)
+                flat[W + 8 * d : W + 8 * (d + 1), j].tobytes() for d in range(depth)
             ]
             proofs.append(MerkleProof(leaf, nodes))
         return proofs
 
+    def gen_proofs(self, indices) -> list[MerkleProof]:
+        """Sibling walk per index; all gathers on device, ONE host
+        transfer total (leaves and sibling layers concatenated row-wise)."""
+        flat = np.asarray(self._gather_device(indices)).astype("<u4")
+        return self._proofs_from_flat(flat, len(list(indices)))
 
-def commit_words(leaf_words, leaf_bytes: int) -> DeviceMerkleTree:
-    """Build a blake2s tree from (W, N) device leaf words (W = 16*nblocks,
-    zero-padded), keeping every layer on device."""
-    n = leaf_words.shape[1]
-    assert n & (n - 1) == 0, "power-of-two leaf count required"
+
+def gen_proofs_many(requests) -> list[list[MerkleProof]]:
+    """Batch branch generation: `requests` is a list of (tree, indices).
+    All gathers are enqueued on device and moved to the host in a SINGLE
+    transfer (each host sync is a full round trip on the remote-TPU
+    transport)."""
+    flats = [tree._gather_device(idx) for (tree, idx) in requests]
+    big = np.asarray(
+        jnp.concatenate([f.reshape(1, -1) for f in flats], axis=1)
+    ).astype("<u4")
+    out = []
+    off = 0
+    for (tree, idx), f in zip(requests, flats):
+        size = f.shape[0] * f.shape[1]
+        flat = big[0, off : off + size].reshape(f.shape)
+        off += size
+        out.append(tree._proofs_from_flat(flat, len(list(idx))))
+    return out
+
+
+def _build_layers(leaf_words, leaf_bytes: int):
     h = b2.blake2s_words_best(leaf_words, leaf_bytes)  # (8, N)
     layers = [h]
     while h.shape[1] > 1:
@@ -180,7 +200,30 @@ def commit_words(leaf_words, leaf_bytes: int) -> DeviceMerkleTree:
         msg = jnp.concatenate([pair[:, :, 0], pair[:, :, 1]], axis=0)
         h = b2.blake2s_words_best(msg, 64)
         layers.append(h)
-    return DeviceMerkleTree(leaf_words, leaf_bytes, layers)
+    return tuple(layers)
+
+
+def commit_words(leaf_words, leaf_bytes: int) -> DeviceMerkleTree:
+    """Build a blake2s tree from (W, N) device leaf words (W = 16*nblocks,
+    zero-padded), keeping every layer on device."""
+    n = leaf_words.shape[1]
+    assert n & (n - 1) == 0, "power-of-two leaf count required"
+    return DeviceMerkleTree(
+        leaf_words, leaf_bytes, list(_build_layers(leaf_words, leaf_bytes))
+    )
+
+
+def commit_words_jit(leaf_words, leaf_bytes: int) -> DeviceMerkleTree:
+    """`commit_words` with the whole layer fold in ONE compiled dispatch
+    (the eager variant pays a device round trip per tree level, which is
+    ~log2(N) tunnel round trips on the remote TPU transport). Falls back
+    to per-shape cached executables via jit."""
+    import jax
+
+    n = leaf_words.shape[1]
+    assert n & (n - 1) == 0, "power-of-two leaf count required"
+    layers = jax.jit(_build_layers, static_argnums=1)(leaf_words, leaf_bytes)
+    return DeviceMerkleTree(leaf_words, leaf_bytes, list(layers))
 
 
 def _host_digest(digest: str):

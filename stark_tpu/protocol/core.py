@@ -223,6 +223,192 @@ def build_staged_prover(
     return run
 
 
+def build_proof_stages(
+    spec: FieldSpec, steps: int, precision: int, original_steps: int
+):
+    """Staged jits for the REAL (transcript-driven) prover.
+
+    Same kernels as `build_staged_prover` but split at the Fiat-Shamir
+    round trips, so `protocol.prove.mk_r1cs_proof` runs the whole device
+    side in ~8 dispatches instead of eager op-at-a-time chains (each eager
+    sync is a tunnel round trip on the remote-TPU transport; the orches-
+    trated prover previously spent ~25 s of its 28 s warm wall there).
+    """
+    from stark_tpu.merkle import tree as mt
+
+    p = spec.p
+    skips = precision // steps
+    kshift = original_steps // 3 * skips
+    g2 = spec.root_of_unity(precision)
+    g1 = pow(g2, skips, p)
+    xs_full = mm.power_table(spec, g2, precision)
+    omega = pow(g2, steps, p)
+    inv_z_scalars = [0] + [
+        pow((pow(omega, t, p) - 1) % p, p - 2, p) for t in range(1, skips)
+    ]
+    pow_scalars = [pow(omega, t, p) for t in range(skips)]
+    x_last = pow(g2, precision - skips, p)
+    x_last_mont = mm.mont_const(spec, x_last)
+    inv_z_full = jnp.tile(mm.mont_consts(spec, inv_z_scalars), (1, precision // skips))
+    x2s_full = jnp.tile(mm.mont_consts(spec, pow_scalars), (1, precision // skips))
+    zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape))
+    inv_zb3 = mm.multi_inv(spec, zb3)
+
+    use_mxu = nttm.use_mxu_lde(steps, precision)
+    if use_mxu:
+        from stark_tpu.ops import mxu_ntt
+
+        inv_plan, big_plan = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
+        lde_many_base = jax.jit(lambda ts, ip, bp: mxu_ntt.lde_mxu_many(ip, bp, ts))
+        lde_many = lambda ts: lde_many_base(ts, inv_plan, big_plan)
+    else:
+        lde_plan = nttm.make_lde_plan(spec, g1, g2, steps, precision)
+        lde_base = jax.jit(lambda t, pl: nttm.lde(spec, t, pl))
+        lde_many = lambda ts: [lde_base(t, lde_plan) for t in ts]
+
+    to_mont_j = jax.jit(lambda raw: mm.to_mont(spec, raw))
+
+    @jax.jit
+    def traces_j(ksp_raw, f1_u8, f2_u8, perm_lo, perm_hi):
+        """Montgomery trace columns from a minimal host transfer:
+        ksp_raw (L, 3*steps) raw limbs of K||S||P, flag columns as u8
+        vectors, permutation as u32 lo/hi. f0 (all ones, run.rs:287) and
+        idx (iota) never leave the device."""
+        L = spec.num_limbs
+        ksp = mm.to_mont(spec, ksp_raw)
+        k_m = jax.lax.slice_in_dim(ksp, 0, steps, axis=1)
+        s_m = jax.lax.slice_in_dim(ksp, steps, 2 * steps, axis=1)
+        p_m = jax.lax.slice_in_dim(ksp, 2 * steps, 3 * steps, axis=1)
+        one = jnp.broadcast_to(mm.mont_one(spec), (L, steps))
+        zero = jnp.zeros((L, steps), jnp.uint32)
+        iota0 = jnp.arange(steps, dtype=jnp.uint32)
+        # flags zero-pad beyond original_steps like every other column
+        # (prove.rs:100-116 zero-pads inside inv_best_fft)
+        f0_m = jnp.where(iota0[None, :] < original_steps, one, zero)
+        f1_m = jnp.where(f1_u8[None, :] != 0, one, zero)
+        f2_m = jnp.where(f2_u8[None, :] != 0, one, zero)
+
+        def from_u32pair(lo, hi):
+            limbs = jnp.stack(
+                [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
+                + [jnp.zeros_like(lo)] * (L - 4),
+                axis=0,
+            )
+            return mm.to_mont(spec, limbs)
+
+        iota = jnp.arange(steps, dtype=jnp.uint32)
+        idx_m = from_u32pair(iota, jnp.zeros_like(iota))
+        perm_m = from_u32pair(perm_lo, perm_hi)
+        return {
+            "k": k_m, "f0": f0_m, "f1": f1_m, "f2": f2_m,
+            "s": s_m, "p": p_m, "idx": idx_m, "perm": perm_m,
+        }
+
+    @jax.jit
+    def v_cols_j(k_raw, f1_u8, f2_u8, perm_lo, perm_hi):
+        """The verifier's 6 public columns (no S/P) from the same minimal
+        transfer shape."""
+        L = spec.num_limbs
+        k_m = mm.to_mont(spec, k_raw)
+        one = jnp.broadcast_to(mm.mont_one(spec), (L, steps))
+        zero = jnp.zeros((L, steps), jnp.uint32)
+        iota0 = jnp.arange(steps, dtype=jnp.uint32)
+        f0_m = jnp.where(iota0[None, :] < original_steps, one, zero)
+        f1_m = jnp.where(f1_u8[None, :] != 0, one, zero)
+        f2_m = jnp.where(f2_u8[None, :] != 0, one, zero)
+
+        def from_u32pair(lo, hi):
+            limbs = jnp.stack(
+                [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
+                + [jnp.zeros_like(lo)] * (L - 4),
+                axis=0,
+            )
+            return mm.to_mont(spec, limbs)
+
+        idx_m = from_u32pair(iota0, jnp.zeros_like(iota0))
+        perm_m = from_u32pair(perm_lo, perm_hi)
+        return [k_m, f0_m, f1_m, f2_m, idx_m, perm_m]
+
+    @jax.jit
+    def a_root_j(perm_lo, perm_hi, s_small):
+        # 40-byte (perm u64 LE || S) leaves, root only (utils.rs:250-270;
+        # the reference commits with gen_proofs(&[]) -- no branches)
+        s_words = _words_best(spec, [s_small])[:8]
+        a_words = jnp.concatenate(
+            [perm_lo, perm_hi, s_words,
+             jnp.zeros((6, s_words.shape[1]), jnp.uint32)],
+            axis=0,
+        )
+        return merkle_root_local(a_words, 40)
+
+    @jax.jit
+    def acc_j(idx_small, perm_small, s_small, r_mont):
+        vn, vd = kernels.rand_combination(spec, r_mont, idx_small, perm_small, s_small)
+        return kernels.accumulator_mini(spec, vn, vd)
+
+    @jax.jit
+    def rest_a(evs, a_ev, r_mont, i2_mont, pubx_mont):
+        q1 = kernels.q1_eval(
+            spec, evs["s"], evs["k"], evs["p"], evs["f0"], evs["f1"], skips
+        )
+        q2 = kernels.q2_eval(spec, evs["p"], evs["f2"], kshift)
+        vn_big, vd_big = kernels.rand_combination(
+            spec, r_mont, evs["idx"], evs["perm"], evs["s"]
+        )
+        q3 = kernels.q3_eval(spec, a_ev, vn_big, vd_big, skips)
+        # divisibility flags (utils.rs:379-418) piggyback on the m-root sync
+        q_bad = jnp.stack(
+            [jnp.any(q[:, ::skips] != 0) for q in (q1, q2, q3)]
+        )
+        d1 = kernels.mmul_ev(spec, q1, inv_z_full)
+        d2 = kernels.mmul_ev(spec, q2, inv_z_full)
+        d3 = kernels.mmul_ev(spec, q3, inv_z_full)
+        i2_ev = kernels.horner_eval(spec, i2_mont, xs_full)
+        one_big = jnp.broadcast_to(mm.mont_one(spec), evs["s"].shape)
+        zb2 = kernels.vanishing_eval(spec, xs_full, pubx_mont)
+        b2_ev = kernels.mmul_ev(
+            spec, mm.msub(spec, evs["s"], i2_ev), mm.multi_inv(spec, zb2)
+        )
+        b3_ev = kernels.mmul_ev(spec, mm.msub(spec, a_ev, one_big), inv_zb3)
+        cols = {
+            "p": evs["p"], "a": a_ev, "s": evs["s"],
+            "d1": d1, "d2": d2, "d3": d3, "b2": b2_ev, "b3": b3_ev,
+        }
+        return cols, q_bad
+
+    _COLS = ("p", "a", "s", "d1", "d2", "d3", "b2", "b3")
+
+    @jax.jit
+    def m_commit_j(cols):
+        words = _words_best(spec, [cols[n] for n in _COLS])
+        return words, mt._build_layers(words, 256)
+
+    @jax.jit
+    def linc_j(k_mont, cols):
+        return kernels.linear_combination(
+            spec, k_mont, x2s_full, *[cols[n] for n in _COLS]
+        )
+
+    @jax.jit
+    def l_commit_j(l_ev):
+        words = _words_best(spec, [l_ev])
+        return words, mt._build_layers(words, 32)
+
+    return {
+        "xs_full": xs_full,
+        "to_mont": to_mont_j,
+        "traces": traces_j,
+        "v_cols": v_cols_j,
+        "lde_many": lde_many,
+        "a_root": a_root_j,
+        "acc": acc_j,
+        "rest_a": rest_a,
+        "m_commit": m_commit_j,
+        "linc": linc_j,
+        "l_commit": l_commit_j,
+    }
+
+
 def _words_best(spec: FieldSpec, columns):
     """Leaf packing with the fused from_mont+pack kernel when available."""
     from stark_tpu.protocol.kernels import _pk

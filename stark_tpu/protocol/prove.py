@@ -23,15 +23,16 @@ byte-exact with the reference.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from stark_tpu.fields.field import FieldSpec
 from stark_tpu.fri import fri
 from stark_tpu.merkle import tree as mt
 from stark_tpu.ops import modmath as mm
-from stark_tpu.ops import ntt as nttm
-from stark_tpu.protocol import kernels
 from stark_tpu.protocol import transcript as ts
 from stark_tpu.protocol.params import (
     SPOT_CHECK_SECURITY_FACTOR,
@@ -76,10 +77,6 @@ def _pad_col(col, steps: int):
     return list(col) + [0] * (steps - n)
 
 
-def _lde_column(spec, values, lde_fn):
-    return lde_fn(_col_mont(spec, values))
-
-
 def _tile_periodic(spec: FieldSpec, scalars: list[int], precision: int):
     """Host scalars v_0..v_{k-1} -> (L, precision) Montgomery with
     out[j] = v_{j mod k}."""
@@ -90,15 +87,6 @@ def _tile_periodic(spec: FieldSpec, scalars: list[int], precision: int):
 
 def _canon_bytes(spec, mont_arr) -> np.ndarray:
     return mm.limbs_to_bytes_le_np(np.asarray(mm.from_mont(spec, mont_arr)), spec)
-
-
-def _check_zero_at_stride(spec, q_evals, skips, what):
-    """Reference divisibility asserts (`utils.rs:379-418`): Q must vanish
-    wherever Z does (every skips-th position). Device reduce, one scalar
-    transfer."""
-    bad = np.asarray(jnp.any(q_evals[:, ::skips] != 0))
-    if bad:
-        raise AssertionError(f"invalid {what}: quotient not divisible by Z")
 
 
 def augmented_positions(positions, params: DomainParams):
@@ -117,6 +105,33 @@ def augmented_positions(positions, params: DomainParams):
     return out
 
 
+def _col_limbs_np(spec, col) -> np.ndarray:
+    """Column -> (L, N) RAW (non-Montgomery) u32 limb planes, host side."""
+    if isinstance(col, np.ndarray):
+        if col.ndim == 2 and col.dtype == np.uint8:
+            return mm.bytes_le_to_limbs_np(col, spec)
+        if col.ndim == 1:
+            v = col.astype(np.uint64)
+            limbs = np.zeros((spec.num_limbs, v.shape[0]), dtype=np.uint32)
+            for i in range(4):
+                limbs[i] = ((v >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(
+                    np.uint32
+                )
+            return limbs
+        raise TypeError(f"unsupported column array {col.shape}/{col.dtype}")
+    return np.asarray(mm.ints_to_limbs_np(col, spec))
+
+
+_TRACE_NAMES = ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")
+
+
+@functools.lru_cache(maxsize=4)
+def _stages_cached(spec, steps, precision, original_steps):
+    from stark_tpu.protocol.core import build_proof_stages
+
+    return build_proof_stages(spec, steps, precision, original_steps)
+
+
 def mk_r1cs_proof(
     spec: FieldSpec,
     arith: Arithmetization,
@@ -130,6 +145,9 @@ def mk_r1cs_proof(
     params = derive_params(spec, original_steps)
     steps, precision, skips = params.steps, params.precision, params.skips
 
+    stages = _stages_cached(spec, steps, precision, original_steps)
+    xs_full = stages["xs_full"]
+
     # --- pad traces to the power-of-two domain (prove.rs:55-68) ---
     if isinstance(arith.permuted_indices, np.ndarray):
         permuted = np.concatenate(
@@ -139,117 +157,85 @@ def mk_r1cs_proof(
             ]
         )
     else:
-        permuted = list(arith.permuted_indices) + list(range(original_steps, steps))
-    coeffs = _pad_col(arith.coefficients, steps)
-    s_trace = _pad_col(arith.witness_trace, steps)
-    p_trace = _pad_col(arith.computational_trace, steps)
-    f0 = _pad_col(arith.flag0, steps)
-    f1 = _pad_col(arith.flag1, steps)
-    f2 = _pad_col(arith.flag2, steps)
+        permuted = np.asarray(
+            list(arith.permuted_indices) + list(range(original_steps, steps)),
+            dtype=np.uint64,
+        )
 
-    # --- domain tables ---
-    xs_full = mm.power_table(spec, params.g2, precision)  # (L, precision)
-    lde_fn = nttm.make_best_lde(spec, params.g1, params.g2, steps, precision)
+    # --- all 8 small-domain columns from a minimal host transfer: only
+    # K/S/P move as full field columns; flags travel as u8, the
+    # permutation as u32 pairs, and f0/idx are generated on device ---
+    with phase("traces"):
+        ksp = np.concatenate(
+            [
+                _col_limbs_np(spec, _pad_col(arith.coefficients, steps)),
+                _col_limbs_np(spec, _pad_col(arith.witness_trace, steps)),
+                _col_limbs_np(spec, _pad_col(arith.computational_trace, steps)),
+            ],
+            axis=1,
+        )
+        f1_u8 = np.asarray(_pad_col(arith.flag1, steps), dtype=np.uint8)
+        f2_u8 = np.asarray(_pad_col(arith.flag2, steps), dtype=np.uint8)
+        perm_lo = (permuted & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        perm_hi = (permuted >> np.uint64(32)).astype(np.uint32)
+        traces = stages["traces"](
+            jnp.asarray(ksp),
+            jnp.asarray(f1_u8),
+            jnp.asarray(f2_u8),
+            jnp.asarray(perm_lo),
+            jnp.asarray(perm_hi),
+        )
 
-    # --- 8 LDE columns (prove.rs:100-169) ---
-    with phase("lde_columns"):
-        k_ev = _lde_column(spec, coeffs, lde_fn)
-        f0_ev = _lde_column(spec, f0, lde_fn)
-        f1_ev = _lde_column(spec, f1, lde_fn)
-        f2_ev = _lde_column(spec, f2, lde_fn)
-        s_small = _col_mont(spec, s_trace)
-        s_ev = lde_fn(s_small)
-        p_ev = _lde_column(spec, p_trace, lde_fn)
-        idx_small = _col_mont(spec, np.arange(steps, dtype=np.uint64))
-        idx_ev = lde_fn(idx_small)
-        perm_small = _col_mont(spec, permuted)
-        perm_ev = lde_fn(perm_small)
-
-    # --- accumulator commitment + randomness (utils.rs:250-290) ---
+    # --- a-tree root (utils.rs:250-270), one dispatch ---
     with phase("a_tree"):
-        # leaf = perm_idx (8B LE usize) || S value (32B LE), built as device
-        # words so the whole tree stays on device (utils.rs:250-270)
-        perm_np = np.asarray(permuted, dtype=np.uint64)
-        perm_lo = jnp.asarray((perm_np & 0xFFFFFFFF).astype(np.uint32))[None]
-        perm_hi = jnp.asarray((perm_np >> 32).astype(np.uint32))[None]
-        from stark_tpu.protocol.core import _words_best
-
-        s_words = _words_best(spec, [s_small])[:8]  # (8, steps)
-        a_words = jnp.concatenate(
-            [perm_lo, perm_hi, s_words, jnp.zeros((6, steps), jnp.uint32)],
-            axis=0,
-        )  # (16, steps): one 64-byte block per 40-byte leaf
-        a_root = mt.commit_words(a_words, 40).root
+        a_root_words = stages["a_root"](
+            jnp.asarray(perm_lo)[None], jnp.asarray(perm_hi)[None], traces["s"]
+        )
+        a_root = np.asarray(a_root_words).astype("<u4").tobytes()
     r = ts.get_random_ff_values(spec, a_root, precision, 3, 0)
 
-    # --- permutation accumulator A (utils.rs:293-339), batched scans ---
-    with phase("accumulator"):
+    # --- accumulator + 9 LDEs (prove.rs:100-184), two dispatches ---
+    with phase("lde_columns"):
         r_mont = mm.mont_consts(spec, r)  # (L, 3)
-        val_nmr, val_dnm = kernels.rand_combination(
-            spec, r_mont, idx_small, perm_small, s_small
-        )
-        a_mini = kernels.accumulator_mini(spec, val_nmr, val_dnm)
-        a_ev = lde_fn(a_mini)
+        a_mini = stages["acc"](traces["idx"], traces["perm"], traces["s"], r_mont)
+        outs = stages["lde_many"]([traces[n] for n in _TRACE_NAMES] + [a_mini])
+        evs = dict(zip(_TRACE_NAMES, outs[:8]))
+        a_ev = outs[8]
 
-    # --- quotients Q1/Q2/Q3 (utils.rs:181-248,344-376) ---
+    # --- quotients + boundaries (utils.rs:181-524), one dispatch ---
     with phase("quotients"):
-        q1 = kernels.q1_eval(spec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips)
-        kshift = original_steps // 3 * skips
-        q2 = kernels.q2_eval(spec, p_ev, f2_ev, kshift)
-        vn_big, vd_big = kernels.rand_combination(spec, r_mont, idx_ev, perm_ev, s_ev)
-        q3 = kernels.q3_eval(spec, a_ev, vn_big, vd_big, skips)
-
-    # --- divisibility + quotients D = Q / Z ---
-    # Z(g2^j) = g2^(j*steps) - 1 = omega^(j mod 8) - 1, omega = g2^steps:
-    # periodic with period EXTENSION_FACTOR (the reference FFTs a sparse
-    # poly to get the same values, prove.rs:128-129)
-    omega = pow(params.g2, steps, p)
-    z_scalars = [(pow(omega, t, p) - 1) % p for t in range(skips)]
-    inv_z_scalars = [0] + [pow(z, p - 2, p) for z in z_scalars[1:]]
-    inv_z = _tile_periodic(spec, inv_z_scalars, precision)
-    for q, what in ((q1, "D1"), (q2, "D2"), (q3, "D3")):
-        _check_zero_at_stride(spec, q, skips, what)
-    d1 = kernels.mmul_ev(spec, q1, inv_z)
-    d2 = kernels.mmul_ev(spec, q2, inv_z)
-    d3 = kernels.mmul_ev(spec, q3, inv_z)
-
-    # --- boundary interpolants and quotients (utils.rs:421-524) ---
-    pub_xs = [pow(params.g2, skips * w, p) for (_, w) in arith.public_first_indices]
-    pub_ys = [public_wires[k] for (k, _) in arith.public_first_indices]
-    interpolant2 = ph.lagrange_interp(spec, pub_xs, pub_ys)
-    i2_ev = kernels.horner_eval(spec, mm.mont_consts(spec, interpolant2), xs_full)
-    # I3 interpolates {(g1^-1, 1)} => the constant poly 1 (utils.rs:458-463)
-    one_big = jnp.broadcast_to(mm.mont_one(spec), s_ev.shape)
-
-    zb2 = kernels.vanishing_eval(spec, xs_full, mm.mont_consts(spec, pub_xs))
-    x_last = pow(params.g2, precision - skips, p)
-    zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(mm.mont_const(spec, x_last), xs_full.shape))
-    b2 = kernels.mmul_ev(spec, mm.msub(spec, s_ev, i2_ev), mm.multi_inv(spec, zb2))
-    b3 = kernels.mmul_ev(spec, mm.msub(spec, a_ev, one_big), mm.multi_inv(spec, zb3))
+        pub_xs = [
+            pow(params.g2, skips * w, p) for (_, w) in arith.public_first_indices
+        ]
+        pub_ys = [public_wires[k] for (k, _) in arith.public_first_indices]
+        interpolant2 = ph.lagrange_interp(spec, pub_xs, pub_ys)
+        cols, q_bad = stages["rest_a"](
+            evs,
+            a_ev,
+            r_mont,
+            mm.mont_consts(spec, interpolant2),
+            mm.mont_consts(spec, pub_xs),
+        )
 
     # --- m-tree: 256-byte leaves P||A||S||D1||D2||D3||B2||B3 (prove.rs:235) ---
     with phase("m_tree"):
-        from stark_tpu.protocol.core import _words_best
-
-        cols = [p_ev, a_ev, s_ev, d1, d2, d3, b2, b3]
-        m_tree = mt.commit_words(_words_best(spec, cols), 256)
+        m_words, m_layers = stages["m_commit"](cols)
+        m_tree = mt.DeviceMerkleTree(m_words, 256, list(m_layers))
         m_root = m_tree.root
+        # divisibility asserts (utils.rs:379-418) share this sync point
+        bad = np.asarray(q_bad)
+        for i, what in enumerate(("D1", "D2", "D3")):
+            if bad[i]:
+                raise AssertionError(f"invalid {what}: quotient not divisible by Z")
 
     # --- random linear combination L (prove.rs:274-322) ---
     k_coeffs = [1] + [
         ts.seed_to_field(spec, [m_root, bytes([i])]) for i in range(1, 11)
     ]
-    pow_scalars = [pow(omega, t, p) for t in range(skips)]  # x^steps, period 8
-    x_to_steps = _tile_periodic(spec, pow_scalars, precision)
-    l_ev = kernels.linear_combination(
-        spec, mm.mont_consts(spec, k_coeffs), x_to_steps,
-        p_ev, a_ev, s_ev, d1, d2, d3, b2, b3,
-    )
-
     with phase("l_tree"):
-        from stark_tpu.protocol.core import _words_best
-
-        l_tree = mt.commit_words(_words_best(spec, [l_ev]), 32)
+        l_ev = stages["linc"](mm.mont_consts(spec, k_coeffs), cols)
+        l_words, l_layers = stages["l_commit"](l_ev)
+        l_tree = mt.DeviceMerkleTree(l_words, 32, list(l_layers))
         l_root = l_tree.root
 
     # --- spot checks (prove.rs:337-362) ---
@@ -257,12 +243,15 @@ def mk_r1cs_proof(
         l_root, precision, SPOT_CHECK_SECURITY_FACTOR, skips
     )
     with phase("branches"):
-        linear_comb_branches = l_tree.gen_proofs(positions)
-        main_branches = m_tree.gen_proofs(augmented_positions(positions, params))
+        linear_comb_branches, main_branches = mt.gen_proofs_many(
+            [(l_tree, positions), (m_tree, augmented_positions(positions, params))]
+        )
 
-    # --- FRI (prove.rs:367) ---
+    # --- FRI (prove.rs:367); the l_tree IS FRI round 0's value tree ---
     with phase("fri"):
-        fri_proof = fri.prove_low_degree(spec, l_ev, xs_full, precision // 4, skips)
+        fri_proof = fri.prove_low_degree(
+            spec, l_ev, xs_full, precision // 4, skips, first_tree=l_tree
+        )
 
     return StarkProof(
         m_root=m_root,

@@ -10,23 +10,31 @@ low-degree-extends them once on device and gathers the 80 checked positions
 
 from __future__ import annotations
 
+import functools
+
+import jax.numpy as jnp
 import numpy as np
 
 from stark_tpu.fields.field import FieldSpec
 from stark_tpu.fri import fri
 from stark_tpu.merkle import tree as mt
 from stark_tpu.ops import modmath as mm
-from stark_tpu.ops import ntt as nttm
 from stark_tpu.protocol import transcript as ts
 from stark_tpu.protocol.params import SPOT_CHECK_SECURITY_FACTOR, derive_params
 from stark_tpu.protocol.proof import StarkProof
 from stark_tpu.protocol.prove import augmented_positions
 from stark_tpu.utils import poly_host as ph
+from stark_tpu.utils.tracing import phase
 
 
-def _gather_ints(spec, mont_arr, positions) -> list[int]:
-    sub = np.asarray(mm.from_mont(spec, mont_arr[:, np.asarray(positions)]))
-    return mm.limbs_to_ints_np(sub, spec)
+@functools.lru_cache(maxsize=2)
+def _gather_j(spec):
+    import jax
+
+    def f(es, q):
+        return jnp.stack([mm.from_mont(spec, e[:, q]) for e in es])
+
+    return jax.jit(f)
 
 
 def verify_r1cs_proof(
@@ -56,30 +64,45 @@ def verify_r1cs_proof(
     f2 = list(flag2) + [0] * pad
 
     # FRI first (verify.rs:82-85)
-    assert fri.verify_low_degree_proof(
-        spec, proof.l_root, params.g2, proof.fri_proof, precision // 4, skips
-    )
+    with phase("v_fri"):
+        assert fri.verify_low_degree_proof(
+            spec, proof.l_root, params.g2, proof.fri_proof, precision // 4, skips
+        )
 
     positions = ts.get_pseudorandom_indices(
         proof.l_root, precision, SPOT_CHECK_SECURITY_FACTOR, skips
     )
     aug = augmented_positions(positions, params)
 
-    main_leaves = mt.verify_multi_branch(proof.m_root, aug, proof.main_branches)
-    l_leaves = mt.verify_multi_branch(
-        proof.l_root, positions, proof.linear_comb_branches
-    )
+    with phase("v_branches"):
+        main_leaves = mt.verify_multi_branch(proof.m_root, aug, proof.main_branches)
+        l_leaves = mt.verify_multi_branch(
+            proof.l_root, positions, proof.linear_comb_branches
+        )
 
     # device LDEs of the public columns, gathered at the spot checks
-    # (backend chosen by STARK_TPU_MXU: butterfly kernels or CRT matmuls)
-    lde_fn = nttm.make_best_lde(spec, params.g1, params.g2, steps, precision)
-    _lde = lambda vals: lde_fn(mm.to_mont(spec, mm.ints_to_limbs_np(vals, spec)))
-    k_at = _gather_ints(spec, _lde(coeffs), positions)
-    f0_at = _gather_ints(spec, _lde(f0), positions)
-    f1_at = _gather_ints(spec, _lde(f1), positions)
-    f2_at = _gather_ints(spec, _lde(f2), positions)
-    idx_at = _gather_ints(spec, _lde(list(range(steps))), positions)
-    perm_at = _gather_ints(spec, _lde(permuted), positions)
+    # (backend chosen by STARK_TPU_MXU: butterfly kernels or CRT matmuls).
+    # All 6 columns go through ONE transfer + ONE to-Montgomery + one
+    # lde_many + ONE gather dispatch (reusing the prover's compiled stages;
+    # eager per-column chains cost a tunnel round trip per op).
+    from stark_tpu.protocol.prove import _col_limbs_np, _stages_cached
+
+    with phase("v_lde"):
+        stages = _stages_cached(spec, steps, precision, original_steps)
+        perm_np = np.asarray(permuted, dtype=np.uint64)
+        smalls = stages["v_cols"](
+            jnp.asarray(_col_limbs_np(spec, coeffs)),
+            jnp.asarray(np.asarray(f1, dtype=np.uint8)),
+            jnp.asarray(np.asarray(f2, dtype=np.uint8)),
+            jnp.asarray((perm_np & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((perm_np >> np.uint64(32)).astype(np.uint32)),
+        )
+        evs = stages["lde_many"](smalls)
+        pos_arr = jnp.asarray(np.asarray(positions, dtype=np.int64))
+        gathered = np.asarray(_gather_j(spec)(evs, pos_arr))  # (6, L, n_pos)
+        k_at, f0_at, f1_at, f2_at, idx_at, perm_at = (
+            mm.limbs_to_ints_np(gathered[i], spec) for i in range(6)
+        )
 
     # boundary interpolants (host; verify.rs:153-157)
     pub_xs = [pow(params.g2, skips * w, p) for (_, w) in public_first_indices]

@@ -56,20 +56,25 @@ def test_two_process_core_matches_single_process():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device counts
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    res = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "scripts", "multihost_dryrun.py"),
-            "--procs",
-            "2",
-            "--devices-per-proc",
-            "4",
-        ],
-        capture_output=True,
-        text=True,
-        timeout=840,
-        cwd=REPO,
-    )
+    # gloo's 30 s connectFullMesh window can expire when the host is under
+    # heavy concurrent load; one retry rides out the transient
+    for attempt in range(2):
+        res = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "scripts", "multihost_dryrun.py"),
+                "--procs",
+                "2",
+                "--devices-per-proc",
+                "4",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=840,
+            cwd=REPO,
+        )
+        if res.returncode == 0:
+            break
     assert res.returncode == 0, res.stdout + res.stderr
     line = next(
         l for l in res.stdout.splitlines() if l.startswith("MULTIHOST_RESULT ")
