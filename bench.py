@@ -106,6 +106,9 @@ def main():
         e2e_s = time.time() - t0
         t0 = time.time()
         ok = runner.verify_with_witness(r1cs, wb[:2], proof)
+        verify_cold_s = time.time() - t0
+        t0 = time.time()
+        ok = runner.verify_with_witness(r1cs, wb[:2], proof) and ok
         verify_s = time.time() - t0
         try:
             dev_peak = jax.local_devices()[0].memory_stats().get(
@@ -117,6 +120,7 @@ def main():
             "prove_s": round(e2e_s, 2),
             "prove_cold_s": round(e2e_cold_s, 2),
             "verify_s": round(verify_s, 2),
+            "verify_cold_s": round(verify_cold_s, 2),
             "verified": bool(ok),
             "vs_baseline": round((n_constraints / e2e_s) / ref_constraints_per_s, 2),
             "host_peak_rss_mb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
