@@ -9,13 +9,31 @@ entry points (`run.rs:528-625`).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
-from stark_tpu.protocol import runner
+
+def _enable_persistent_cache() -> None:
+    """Point JAX at the on-disk compilation cache (same settings as the
+    test conftest) so repeat CLI invocations skip the multi-minute cold
+    compile. Opt out with STARK_TPU_CACHE=0; override the dir by path."""
+    cache = os.environ.get(
+        "STARK_TPU_CACHE", os.path.expanduser("~/.cache/jax_stark")
+    )
+    if cache in ("", "0"):
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def main(argv=None) -> int:
+    _enable_persistent_cache()
+    from stark_tpu.protocol import runner
+
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] not in ("prove", "verify", "run"):
         argv = ["run"] + argv  # bare 3-arg form, like `cargo run a b c`

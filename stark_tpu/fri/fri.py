@@ -69,6 +69,38 @@ def _commit_j(spec: FieldSpec, values_mont):
     return words, mt._build_layers(words, 32)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _sx_j(spec: FieldSpec, root_words8):
+    """special_x from the value-tree root, ON DEVICE (fri.rs:135)."""
+    from stark_tpu.protocol import device_transcript as dt
+
+    return dt.digest_le_int_mont(spec, root_words8)[:, :, None]  # (L, 1, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _ys_j(root2_words8, quarter: int, exclude: int):
+    """Query indices + the 4-per-query row positions, ON DEVICE."""
+    from stark_tpu.protocol import device_transcript as dt
+
+    ys = dt.pseudorandom_indices(root2_words8, quarter, QUERIES_PER_ROUND, exclude)
+    poly_positions = (
+        ys[:, None] + jnp.uint32(quarter) * jnp.arange(4, dtype=jnp.uint32)[None, :]
+    ).reshape(-1)
+    return ys, poly_positions
+
+
+def materialize_u32(arrs):
+    """Move many device uint32 arrays to host in ONE transfer."""
+    flat = [a.reshape(-1) for a in arrs]
+    big = np.asarray(jnp.concatenate(flat)).astype("<u4")
+    out, off = [], 0
+    for a in arrs:
+        size = int(np.prod(a.shape))
+        out.append(big[off : off + size].reshape(a.shape))
+        off += size
+    return out
+
+
 def _commit_tree(spec: FieldSpec, values_mont) -> mt.DeviceMerkleTree:
     words, layers = _commit_j(spec, values_mont)
     return mt.DeviceMerkleTree(words, 32, list(layers))
@@ -129,52 +161,111 @@ def prove_low_degree(
     root transfers per round); branch gathering is deferred to one batch
     at the end -- queries depend only on the already-derived roots.
     """
+    pending = prove_low_degree_pending(
+        spec,
+        values_mont,
+        xs_full,
+        max_deg_plus_1,
+        exclude_multiples_of,
+        deg_direct_checking,
+        first_tree,
+    )
+    flats = materialize_u32(pending["device_arrays"])
+    return assemble_fri(spec, pending, flats)
+
+
+def prove_low_degree_pending(
+    spec: FieldSpec,
+    values_mont,
+    xs_full,
+    max_deg_plus_1: int,
+    exclude_multiples_of: int = 0,
+    deg_direct_checking: int = MIN_DEG_DIRECT_CHECKING,
+    first_tree: mt.DeviceMerkleTree | None = None,
+):
+    """Fully-async FRI: every challenge (special_x, query indices) is
+    derived ON DEVICE (`protocol/device_transcript`), so the whole
+    recursion enqueues without a single host sync. Returns a pending
+    record whose `device_arrays` the caller materializes in one transfer
+    (together with the rest of the proof) and feeds to `assemble_fri`."""
     assert deg_direct_checking >= MIN_DEG_DIRECT_CHECKING
     values = values_mont
     xs = xs_full
-    middles = []  # (m_tree, m2_tree, ys, poly_positions)
+    rounds = []  # (root2_words, val_flat, col_flat) device triples
     while True:
         n = values.shape[1]
         if max_deg_plus_1 <= deg_direct_checking:
-            # base case (fri.rs:88-112): emit all values; the degree bound is
-            # the verifier's job (the reference only debug-asserts it here)
-            leaves = _canonical_bytes(spec, values)
-            last = FriLast([leaves[i].tobytes() for i in range(n)])
+            last_words = _value_words(spec, values)[:8]  # (8, n) canonical
             break
 
         # this round's value tree: round 0 can reuse the caller's l_tree,
         # every later round's values ARE the previous round's column, whose
         # tree (m2) is already committed -- same leaves, same root
-        m_tree = first_tree if first_tree is not None else _commit_tree(spec, values)
-        first_tree = None
-        special_x = spec.from_bytes_le(m_tree.root)  # fri.rs:135
-        sx = mm.mont_consts(spec, [special_x])[:, :, None]  # (L, 1, 1)
+        if first_tree is not None:
+            m_tree = first_tree
+            first_tree = None
+        else:
+            words, layers = _commit_j(spec, values)
+            m_tree = mt.DeviceMerkleTree(words, 32, list(layers))
+        val_root_w = m_tree.layers[-1][:, 0]
+        sx = _sx_j(spec, val_root_w)
 
         quarter = n // 4
         column = _fold_j(spec, values, xs, sx)
 
-        m2_tree = _commit_tree(spec, column)
-        ys = ts.get_pseudorandom_indices(
-            m2_tree.root, quarter, QUERIES_PER_ROUND, exclude_multiples_of
-        )
-        poly_positions = [y + quarter * j for y in ys for j in range(4)]
-        middles.append((m_tree, m2_tree, ys, poly_positions))
+        c_words, c_layers = _commit_j(spec, column)
+        m2_tree = mt.DeviceMerkleTree(c_words, 32, list(c_layers))
+        root2_w = c_layers[-1][:, 0]
+        ys, poly_positions = _ys_j(root2_w, quarter, exclude_multiples_of)
+        val_flat = m_tree._gather_device(poly_positions)
+        col_flat = m2_tree._gather_device(ys)
+        rounds.append((root2_w, val_flat, col_flat))
 
         values = column
         first_tree = m2_tree  # next round's value tree, already committed
         xs = xs[:, ::4]
         max_deg_plus_1 //= 4
 
-    requests = []
-    for (m_tree, m2_tree, ys, poly_positions) in middles:
-        requests.append((m2_tree, ys))
-        requests.append((m_tree, poly_positions))
-    branch_sets = mt.gen_proofs_many(requests)
-    proof: list[FriMiddle | FriLast] = [
-        FriMiddle(m2_tree.root, branch_sets[2 * i], branch_sets[2 * i + 1])
-        for i, (m_tree, m2_tree, ys, poly_positions) in enumerate(middles)
-    ]
-    proof.append(last)
+    device_arrays = []
+    for (root2_w, val_flat, col_flat) in rounds:
+        device_arrays.extend([root2_w, col_flat, val_flat])
+    device_arrays.append(last_words)
+    return {"device_arrays": device_arrays, "n_rounds": len(rounds)}
+
+
+def _branches_from_flat(flat: np.ndarray, leaf_bytes: int, k: int):
+    W = (leaf_bytes + 3) // 4
+    W = ((W + 15) // 16) * 16  # block padding of the leaf words
+    depth = (flat.shape[0] - W) // 8
+    proofs = []
+    for j in range(k):
+        leaf = flat[:W, j].tobytes()[:leaf_bytes]
+        nodes = [
+            flat[W + 8 * d : W + 8 * (d + 1), j].tobytes() for d in range(depth)
+        ]
+        proofs.append(mt.MerkleProof(leaf, nodes))
+    return proofs
+
+
+def assemble_fri(spec: FieldSpec, pending, flats) -> list:
+    """Host-side formatting of the materialized FRI arrays."""
+    proof: list[FriMiddle | FriLast] = []
+    i = 0
+    for _ in range(pending["n_rounds"]):
+        root2_w, col_flat, val_flat = flats[i], flats[i + 1], flats[i + 2]
+        i += 3
+        proof.append(
+            FriMiddle(
+                root2_w.astype("<u4").tobytes(),
+                _branches_from_flat(col_flat, 32, QUERIES_PER_ROUND),
+                _branches_from_flat(val_flat, 32, 4 * QUERIES_PER_ROUND),
+            )
+        )
+    last_words = flats[i]
+    n = last_words.shape[1]
+    proof.append(
+        FriLast([last_words[:, j].astype("<u4").tobytes() for j in range(n)])
+    )
     return proof
 
 

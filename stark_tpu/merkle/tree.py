@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -143,14 +144,16 @@ class DeviceMerkleTree:
 
     def _gather_device(self, indices):
         """Device-side gather of (leaves || sibling path) for `indices`;
-        returns the flat (W + 8*depth, k) device array (no host sync)."""
-        idx = np.asarray([int(i) for i in indices], dtype=np.int64)
-        gathered = [self.leaf_words[:, jnp.asarray(idx)]]  # (W, k)
-        t = idx.copy()
-        for layer in self.layers[:-1]:
-            gathered.append(layer[:, jnp.asarray(t ^ 1)])
-            t //= 2
-        return jnp.concatenate(gathered, axis=0)
+        returns the flat (W + 8*depth, k) device array (no host sync).
+        `indices` may be host ints or a device uint32/int32 array (one
+        compiled dispatch either way)."""
+        if isinstance(indices, (jnp.ndarray, jax.Array)):
+            idx = indices.astype(jnp.int32)
+        else:
+            idx = jnp.asarray(
+                np.asarray([int(i) for i in indices], dtype=np.int32)
+            )
+        return _gather_flat_j(self.leaf_words, tuple(self.layers[:-1]), idx)
 
     def _proofs_from_flat(self, flat: np.ndarray, k: int) -> list[MerkleProof]:
         W = self.leaf_words.shape[0]
@@ -170,6 +173,16 @@ class DeviceMerkleTree:
         transfer total (leaves and sibling layers concatenated row-wise)."""
         flat = np.asarray(self._gather_device(indices)).astype("<u4")
         return self._proofs_from_flat(flat, len(list(indices)))
+
+
+@jax.jit
+def _gather_flat_j(leaf_words, layers, idx):
+    gathered = [leaf_words[:, idx]]
+    t = idx
+    for layer in layers:
+        gathered.append(layer[:, t ^ 1])
+        t = t // 2
+    return jnp.concatenate(gathered, axis=0)
 
 
 def gen_proofs_many(requests) -> list[list[MerkleProof]]:

@@ -12,8 +12,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from stark_tpu.fields.field import FieldSpec
+from stark_tpu.protocol.params import SPOT_CHECK_SECURITY_FACTOR
 from stark_tpu.ops import blake2s as b2
 from stark_tpu.ops import modmath as mm
 from stark_tpu.ops import ntt as nttm
@@ -356,10 +358,10 @@ def build_proof_stages(
             spec, r_mont, evs["idx"], evs["perm"], evs["s"]
         )
         q3 = kernels.q3_eval(spec, a_ev, vn_big, vd_big, skips)
-        # divisibility flags (utils.rs:379-418) piggyback on the m-root sync
+        # divisibility flags (utils.rs:379-418) piggyback on the final sync
         q_bad = jnp.stack(
             [jnp.any(q[:, ::skips] != 0) for q in (q1, q2, q3)]
-        )
+        ).astype(jnp.uint32)
         d1 = kernels.mmul_ev(spec, q1, inv_z_full)
         d2 = kernels.mmul_ev(spec, q2, inv_z_full)
         d3 = kernels.mmul_ev(spec, q3, inv_z_full)
@@ -394,6 +396,32 @@ def build_proof_stages(
         words = _words_best(spec, [l_ev])
         return words, mt._build_layers(words, 32)
 
+    from stark_tpu.protocol import device_transcript as dt
+
+    @jax.jit
+    def r_j(a_root_words8):
+        # utils.rs:272-290 via the device transcript
+        return dt.random_ff_mont(spec, a_root_words8, precision, 3, 0)
+
+    @jax.jit
+    def k_j(m_root_words8):
+        # prove.rs:274-283 via the device transcript
+        return dt.k_coeffs_mont(spec, m_root_words8)
+
+    @jax.jit
+    def pos_j(l_root_words8):
+        # prove.rs:337-359: spot-check positions + their 4 companions
+        pos = dt.pseudorandom_indices(
+            l_root_words8, precision, SPOT_CHECK_SECURITY_FACTOR, skips
+        )
+        offs = jnp.asarray(
+            np.array(
+                [0, precision - skips, kshift, 2 * kshift], dtype=np.uint32
+            )
+        )
+        aug = (pos[:, None] + offs[None, :]) % np.uint32(precision)
+        return pos, aug.reshape(-1)
+
     return {
         "xs_full": xs_full,
         "to_mont": to_mont_j,
@@ -406,6 +434,9 @@ def build_proof_stages(
         "m_commit": m_commit_j,
         "linc": linc_j,
         "l_commit": l_commit_j,
+        "r": r_j,
+        "k": k_j,
+        "pos": pos_j,
     }
 
 

@@ -186,23 +186,27 @@ def mk_r1cs_proof(
             jnp.asarray(perm_hi),
         )
 
-    # --- a-tree root (utils.rs:250-270), one dispatch ---
+    # From here to the final materialization, EVERYTHING is an async device
+    # dispatch: every Fiat-Shamir challenge (r, k, positions, FRI special_x
+    # and query indices) is derived on device (`protocol/device_transcript`),
+    # so no host sync sits inside the transcript chain. One transfer at the
+    # end moves the whole proof to the host.
+
+    # --- a-tree root (utils.rs:250-270) + r (utils.rs:272-290) ---
     with phase("a_tree"):
         a_root_words = stages["a_root"](
             jnp.asarray(perm_lo)[None], jnp.asarray(perm_hi)[None], traces["s"]
         )
-        a_root = np.asarray(a_root_words).astype("<u4").tobytes()
-    r = ts.get_random_ff_values(spec, a_root, precision, 3, 0)
+        r_mont = stages["r"](a_root_words)
 
-    # --- accumulator + 9 LDEs (prove.rs:100-184), two dispatches ---
+    # --- accumulator + 9 LDEs (prove.rs:100-184) ---
     with phase("lde_columns"):
-        r_mont = mm.mont_consts(spec, r)  # (L, 3)
         a_mini = stages["acc"](traces["idx"], traces["perm"], traces["s"], r_mont)
         outs = stages["lde_many"]([traces[n] for n in _TRACE_NAMES] + [a_mini])
         evs = dict(zip(_TRACE_NAMES, outs[:8]))
         a_ev = outs[8]
 
-    # --- quotients + boundaries (utils.rs:181-524), one dispatch ---
+    # --- quotients + boundaries (utils.rs:181-524) ---
     with phase("quotients"):
         pub_xs = [
             pow(params.g2, skips * w, p) for (_, w) in arith.public_first_indices
@@ -217,46 +221,48 @@ def mk_r1cs_proof(
             mm.mont_consts(spec, pub_xs),
         )
 
-    # --- m-tree: 256-byte leaves P||A||S||D1||D2||D3||B2||B3 (prove.rs:235) ---
-    with phase("m_tree"):
+    # --- m-tree (prove.rs:235-264) -> k (prove.rs:274-283) -> L -> l-tree ---
+    with phase("commits"):
         m_words, m_layers = stages["m_commit"](cols)
         m_tree = mt.DeviceMerkleTree(m_words, 256, list(m_layers))
-        m_root = m_tree.root
-        # divisibility asserts (utils.rs:379-418) share this sync point
-        bad = np.asarray(q_bad)
-        for i, what in enumerate(("D1", "D2", "D3")):
-            if bad[i]:
-                raise AssertionError(f"invalid {what}: quotient not divisible by Z")
-
-    # --- random linear combination L (prove.rs:274-322) ---
-    k_coeffs = [1] + [
-        ts.seed_to_field(spec, [m_root, bytes([i])]) for i in range(1, 11)
-    ]
-    with phase("l_tree"):
-        l_ev = stages["linc"](mm.mont_consts(spec, k_coeffs), cols)
+        m_root_w = m_layers[-1][:, 0]
+        k_mont = stages["k"](m_root_w)
+        l_ev = stages["linc"](k_mont, cols)
         l_words, l_layers = stages["l_commit"](l_ev)
         l_tree = mt.DeviceMerkleTree(l_words, 32, list(l_layers))
-        l_root = l_tree.root
+        l_root_w = l_layers[-1][:, 0]
 
-    # --- spot checks (prove.rs:337-362) ---
-    positions = ts.get_pseudorandom_indices(
-        l_root, precision, SPOT_CHECK_SECURITY_FACTOR, skips
-    )
+    # --- spot checks (prove.rs:337-362) with device-derived positions ---
     with phase("branches"):
-        linear_comb_branches, main_branches = mt.gen_proofs_many(
-            [(l_tree, positions), (m_tree, augmented_positions(positions, params))]
-        )
+        positions_d, aug_d = stages["pos"](l_root_w)
+        l_flat = l_tree._gather_device(positions_d)
+        m_flat = m_tree._gather_device(aug_d)
 
     # --- FRI (prove.rs:367); the l_tree IS FRI round 0's value tree ---
     with phase("fri"):
-        fri_proof = fri.prove_low_degree(
+        pending = fri.prove_low_degree_pending(
             spec, l_ev, xs_full, precision // 4, skips, first_tree=l_tree
         )
 
+    # --- single materializing transfer + host-side formatting ---
+    with phase("materialize"):
+        mats = fri.materialize_u32(
+            [a_root_words, m_root_w, l_root_w, q_bad, l_flat, m_flat]
+            + pending["device_arrays"]
+        )
+        a_root_np, m_root_np, l_root_np, bad, l_flat_np, m_flat_np = mats[:6]
+        for i, what in enumerate(("D1", "D2", "D3")):
+            if bad[i]:
+                raise AssertionError(f"invalid {what}: quotient not divisible by Z")
+        n_pos = SPOT_CHECK_SECURITY_FACTOR
+        linear_comb_branches = l_tree._proofs_from_flat(l_flat_np, n_pos)
+        main_branches = m_tree._proofs_from_flat(m_flat_np, 4 * n_pos)
+        fri_proof = fri.assemble_fri(spec, pending, mats[6:])
+
     return StarkProof(
-        m_root=m_root,
-        l_root=l_root,
-        a_root=a_root,
+        m_root=m_root_np.astype("<u4").tobytes(),
+        l_root=l_root_np.astype("<u4").tobytes(),
+        a_root=a_root_np.astype("<u4").tobytes(),
         main_branches=main_branches,
         linear_comb_branches=linear_comb_branches,
         fri_proof=fri_proof,
