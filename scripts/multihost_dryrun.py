@@ -144,8 +144,8 @@ def main() -> int:
                 cwd=repo,
             )
         )
-    out, _ = procs[0].communicate(timeout=900)
-    rcs = [procs[0].returncode] + [p.wait(timeout=900) for p in procs[1:]]
+    out, _ = procs[0].communicate(timeout=2400)
+    rcs = [procs[0].returncode] + [p.wait(timeout=2400) for p in procs[1:]]
     sys.stdout.write(out)
     if any(rcs):
         print(f"worker return codes: {rcs}", file=sys.stderr)

@@ -70,7 +70,9 @@ def test_two_process_core_matches_single_process():
             ],
             capture_output=True,
             text=True,
-            timeout=840,
+            # generous: cold persistent-cache hosts pay full XLA compiles
+            # inside the workers (observed >840 s under concurrent load)
+            timeout=int(os.environ.get("STARK_TPU_MULTIHOST_TIMEOUT", 2400)),
             cwd=REPO,
         )
         if res.returncode == 0:
