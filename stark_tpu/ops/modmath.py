@@ -82,6 +82,17 @@ def bytes_le_to_limbs_np(data: np.ndarray, spec: FieldSpec) -> np.ndarray:
     return (pairs[:, :, 0] | (pairs[:, :, 1] << 8)).T.copy()
 
 
+def bytes_le_to_limbs(spec: FieldSpec, data):
+    """Device twin of `bytes_le_to_limbs_np`: (N, 2L) uint8 canonical
+    little-endian byte rows -> (L, N) uint32 limb planes. Lets the host
+    transfer half the bytes (u8 rows, the native arithmetizer's output
+    format) and unpack on device."""
+    import jax.numpy as jnp
+
+    pairs = data.reshape(data.shape[0], spec.num_limbs, 2).astype(jnp.uint32)
+    return (pairs[:, :, 0] | (pairs[:, :, 1] << 8)).T
+
+
 def limbs_to_bytes_le_np(arr, spec: FieldSpec) -> np.ndarray:
     """(L, N) uint32 canonical -> (N, repr_bytes) uint8 little-endian."""
     a = np.asarray(arr, dtype=np.uint32).reshape(spec.num_limbs, -1).T  # (N, L)

@@ -271,13 +271,15 @@ def build_proof_stages(
     to_mont_j = jax.jit(lambda raw: mm.to_mont(spec, raw))
 
     @jax.jit
-    def traces_j(ksp_raw, f1_u8, f2_u8, perm_lo, perm_hi):
+    def traces_j(ksp_bytes, f1_u8, f2_u8, perm_lo, perm_hi):
         """Montgomery trace columns from a minimal host transfer:
-        ksp_raw (L, 3*steps) raw limbs of K||S||P, flag columns as u8
-        vectors, permutation as u32 lo/hi. f0 (all ones, run.rs:287) and
-        idx (iota) never leave the device."""
+        ksp_bytes (3*steps, 2L) canonical LE byte rows of K||S||P (the
+        native arithmetizer's output format -- half the bytes of limb
+        planes over the transport), flag columns as u8 vectors, the
+        permutation as u32 lo/hi. f0 (all ones, run.rs:287) and idx
+        (iota) never leave the device."""
         L = spec.num_limbs
-        ksp = mm.to_mont(spec, ksp_raw)
+        ksp = mm.to_mont(spec, mm.bytes_le_to_limbs(spec, ksp_bytes))
         k_m = jax.lax.slice_in_dim(ksp, 0, steps, axis=1)
         s_m = jax.lax.slice_in_dim(ksp, steps, 2 * steps, axis=1)
         p_m = jax.lax.slice_in_dim(ksp, 2 * steps, 3 * steps, axis=1)
@@ -307,11 +309,11 @@ def build_proof_stages(
         }
 
     @jax.jit
-    def v_cols_j(k_raw, f1_u8, f2_u8, perm_lo, perm_hi):
+    def v_cols_j(k_bytes, f1_u8, f2_u8, perm_lo, perm_hi):
         """The verifier's 6 public columns (no S/P) from the same minimal
-        transfer shape."""
+        transfer shape (K as canonical LE byte rows)."""
         L = spec.num_limbs
-        k_m = mm.to_mont(spec, k_raw)
+        k_m = mm.to_mont(spec, mm.bytes_le_to_limbs(spec, k_bytes))
         one = jnp.broadcast_to(mm.mont_one(spec), (L, steps))
         zero = jnp.zeros((L, steps), jnp.uint32)
         iota0 = jnp.arange(steps, dtype=jnp.uint32)

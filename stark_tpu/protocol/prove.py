@@ -105,21 +105,26 @@ def augmented_positions(positions, params: DomainParams):
     return out
 
 
-def _col_limbs_np(spec, col) -> np.ndarray:
-    """Column -> (L, N) RAW (non-Montgomery) u32 limb planes, host side."""
-    if isinstance(col, np.ndarray):
-        if col.ndim == 2 and col.dtype == np.uint8:
-            return mm.bytes_le_to_limbs_np(col, spec)
-        if col.ndim == 1:
-            v = col.astype(np.uint64)
-            limbs = np.zeros((spec.num_limbs, v.shape[0]), dtype=np.uint32)
-            for i in range(4):
-                limbs[i] = ((v >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(
-                    np.uint32
-                )
-            return limbs
-        raise TypeError(f"unsupported column array {col.shape}/{col.dtype}")
-    return np.asarray(mm.ints_to_limbs_np(col, spec))
+def _col_bytes_np(spec, col) -> np.ndarray:
+    """Column -> (N, 2L) canonical little-endian uint8 byte rows -- the
+    minimal-transfer wire format (bytes->limbs runs on device). The native
+    arithmetizer already emits (N, 32) u8 rows, which pass through."""
+    nb = spec.num_limbs * 2
+    if isinstance(col, np.ndarray) and col.ndim == 2 and col.dtype == np.uint8:
+        if col.shape[1] == nb:
+            return col
+        out = np.zeros((col.shape[0], nb), dtype=np.uint8)
+        w = min(nb, col.shape[1])
+        out[:, :w] = col[:, :w]
+        return out
+    if isinstance(col, np.ndarray) and col.ndim == 1:
+        v = col.astype(np.uint64)
+        out = np.zeros((v.shape[0], nb), dtype=np.uint8)
+        for i in range(min(8, nb)):
+            out[:, i] = ((v >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.uint8)
+        return out
+    b = mm.limbs_to_bytes_le_np(mm.ints_to_limbs_np(col, spec), spec)
+    return _col_bytes_np(spec, b)  # normalize width to 2L
 
 
 _TRACE_NAMES = ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")
@@ -168,11 +173,11 @@ def mk_r1cs_proof(
     with phase("traces"):
         ksp = np.concatenate(
             [
-                _col_limbs_np(spec, _pad_col(arith.coefficients, steps)),
-                _col_limbs_np(spec, _pad_col(arith.witness_trace, steps)),
-                _col_limbs_np(spec, _pad_col(arith.computational_trace, steps)),
+                _col_bytes_np(spec, _pad_col(arith.coefficients, steps)),
+                _col_bytes_np(spec, _pad_col(arith.witness_trace, steps)),
+                _col_bytes_np(spec, _pad_col(arith.computational_trace, steps)),
             ],
-            axis=1,
+            axis=0,
         )
         f1_u8 = np.asarray(_pad_col(arith.flag1, steps), dtype=np.uint8)
         f2_u8 = np.asarray(_pad_col(arith.flag2, steps), dtype=np.uint8)

@@ -85,13 +85,13 @@ def verify_r1cs_proof(
     # All 6 columns go through ONE transfer + ONE to-Montgomery + one
     # lde_many + ONE gather dispatch (reusing the prover's compiled stages;
     # eager per-column chains cost a tunnel round trip per op).
-    from stark_tpu.protocol.prove import _col_limbs_np, _stages_cached
+    from stark_tpu.protocol.prove import _col_bytes_np, _stages_cached
 
     with phase("v_lde"):
         stages = _stages_cached(spec, steps, precision, original_steps)
         perm_np = np.asarray(permuted, dtype=np.uint64)
         smalls = stages["v_cols"](
-            jnp.asarray(_col_limbs_np(spec, coeffs)),
+            jnp.asarray(_col_bytes_np(spec, coeffs)),
             jnp.asarray(np.asarray(f1, dtype=np.uint8)),
             jnp.asarray(np.asarray(f2, dtype=np.uint8)),
             jnp.asarray((perm_np & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
