@@ -35,7 +35,7 @@ def main(argv=None) -> int:
     from stark_tpu.protocol import runner
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    if argv and argv[0] not in ("prove", "verify", "run"):
+    if argv and argv[0] not in ("prove", "verify", "run", "warmup"):
         argv = ["run"] + argv  # bare 3-arg form, like `cargo run a b c`
 
     parser = argparse.ArgumentParser(prog="stark-tpu")
@@ -45,10 +45,39 @@ def main(argv=None) -> int:
         sp.add_argument("r1cs")
         sp.add_argument("wtns")
         sp.add_argument("proof_json")
+    wp = sub.add_parser(
+        "warmup",
+        help="precompile every prover/verifier executable for a circuit "
+        "(parallel; fills the persistent cache so the first prove is fast)",
+    )
+    wp.add_argument("r1cs")
+    wp.add_argument("--threads", type=int, default=None)
     args = parser.parse_args(argv)
 
     t0 = time.time()
-    if args.cmd == "prove":
+    if args.cmd == "warmup":
+        from stark_tpu.protocol.params import derive_params
+        from stark_tpu.protocol.warmup import warmup_prover
+        from stark_tpu.r1cs.arithmetize import arithmetize
+        from stark_tpu.r1cs.reader import read_r1cs
+
+        with open(args.r1cs, "rb") as f:
+            r1cs = read_r1cs(f.read())
+        spec = runner._spec_for(r1cs)
+        h = r1cs.header
+        n_pub = 1 + h.n_public_inputs + h.n_public_outputs
+        arith = arithmetize(spec, r1cs.constraints, None, h.n_wires, n_pub)
+        params = derive_params(spec, arith.original_steps)
+        n = warmup_prover(
+            spec,
+            params.steps,
+            params.precision,
+            arith.original_steps,
+            len(arith.public_first_indices),
+            threads=args.threads,
+        )
+        print(f"warmed {n} executables (steps={params.steps})")
+    elif args.cmd == "prove":
         runner.prove_with_file_path(args.r1cs, args.wtns, args.proof_json)
     elif args.cmd == "verify":
         runner.verify_with_file_path(args.r1cs, args.wtns, args.proof_json)

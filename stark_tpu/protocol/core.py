@@ -424,6 +424,42 @@ def build_proof_stages(
         aug = (pos[:, None] + offs[None, :]) % np.uint32(precision)
         return pos, aug.reshape(-1)
 
+    def warm_targets(n_pub: int):
+        """(jit_fn, example_args) pairs covering every compile a prove (and
+        the verifier's column stages) will trigger at this circuit size, so
+        :mod:`stark_tpu.protocol.warmup` can lower+compile them from a
+        thread pool. Args are ShapeDtypeStructs except the LDE plans, whose
+        concrete tables double as trace-time constants."""
+        L = spec.num_limbs
+        S = lambda sh, dt=jnp.uint32: jax.ShapeDtypeStruct(sh, dt)
+        u8 = jnp.uint8
+        col = S((L, steps))
+        ev = S((L, precision))
+        evs_av = {n: ev for n in ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")}
+        cols_av = {n: ev for n in _COLS}
+        root8 = S((8,))
+        t = [
+            (traces_j, (S((3 * steps, 2 * L), u8), S((steps,), u8),
+                        S((steps,), u8), S((steps,)), S((steps,)))),
+            (v_cols_j, (S((steps, 2 * L), u8), S((steps,), u8),
+                        S((steps,), u8), S((steps,)), S((steps,)))),
+            (a_root_j, (S((1, steps)), S((1, steps)), col)),
+            (acc_j, (col, col, col, S((L, 3)))),
+            (rest_a, (evs_av, ev, S((L, 3)), S((L, n_pub)), S((L, n_pub)))),
+            (m_commit_j, (cols_av,)),
+            (linc_j, (S((L, 11)), cols_av)),
+            (l_commit_j, (ev,)),
+            (r_j, (root8,)),
+            (k_j, (root8,)),
+            (pos_j, (root8,)),
+        ]
+        if use_mxu:
+            t.append((lde_many_base, ([col] * 9, inv_plan, big_plan)))
+            t.append((lde_many_base, ([col] * 6, inv_plan, big_plan)))
+        else:
+            t.append((lde_base, (col, lde_plan)))
+        return t
+
     return {
         "xs_full": xs_full,
         "to_mont": to_mont_j,
@@ -439,6 +475,7 @@ def build_proof_stages(
         "r": r_j,
         "k": k_j,
         "pos": pos_j,
+        "warm_targets": warm_targets,
     }
 
 

@@ -144,12 +144,34 @@ def mk_r1cs_proof(
     n_constraints: int,
     n_wires: int,
 ) -> StarkProof:
+    return materialize_r1cs_proof(
+        spec, enqueue_r1cs_proof(spec, arith, public_wires, n_constraints, n_wires)
+    )
+
+
+def enqueue_r1cs_proof(
+    spec: FieldSpec,
+    arith: Arithmetization,
+    public_wires: list[int],
+    n_constraints: int,
+    n_wires: int,
+) -> dict:
+    """Enqueue the ENTIRE proof as one async device-dispatch chain (every
+    Fiat-Shamir challenge is device-derived) and return the pending record;
+    `materialize_r1cs_proof` syncs once and formats the StarkProof. Split
+    so a serving loop can pipeline: enqueue proof i+1 while proof i's
+    arrays stream back (`runner.prove_many`)."""
     p = spec.p
     original_steps = arith.original_steps
     assert original_steps <= 3 * n_constraints * n_wires
     params = derive_params(spec, original_steps)
     steps, precision, skips = params.steps, params.precision, params.skips
 
+    from stark_tpu.protocol.warmup import maybe_warmup
+
+    maybe_warmup(
+        spec, steps, precision, original_steps, len(arith.public_first_indices)
+    )
     stages = _stages_cached(spec, steps, precision, original_steps)
     xs_full = stages["xs_full"]
 
@@ -249,20 +271,28 @@ def mk_r1cs_proof(
             spec, l_ev, xs_full, precision // 4, skips, first_tree=l_tree
         )
 
-    # --- single materializing transfer + host-side formatting ---
+    return {
+        "pending": pending,
+        "device_arrays": [a_root_words, m_root_w, l_root_w, q_bad, l_flat, m_flat]
+        + pending["device_arrays"],
+        "l_tree": l_tree,
+        "m_tree": m_tree,
+    }
+
+
+def materialize_r1cs_proof(spec: FieldSpec, st: dict) -> StarkProof:
+    """One device->host transfer + host-side formatting of a pending proof
+    chain from `enqueue_r1cs_proof`."""
     with phase("materialize"):
-        mats = fri.materialize_u32(
-            [a_root_words, m_root_w, l_root_w, q_bad, l_flat, m_flat]
-            + pending["device_arrays"]
-        )
+        mats = fri.materialize_u32(st["device_arrays"])
         a_root_np, m_root_np, l_root_np, bad, l_flat_np, m_flat_np = mats[:6]
         for i, what in enumerate(("D1", "D2", "D3")):
             if bad[i]:
                 raise AssertionError(f"invalid {what}: quotient not divisible by Z")
         n_pos = SPOT_CHECK_SECURITY_FACTOR
-        linear_comb_branches = l_tree._proofs_from_flat(l_flat_np, n_pos)
-        main_branches = m_tree._proofs_from_flat(m_flat_np, 4 * n_pos)
-        fri_proof = fri.assemble_fri(spec, pending, mats[6:])
+        linear_comb_branches = st["l_tree"]._proofs_from_flat(l_flat_np, n_pos)
+        main_branches = st["m_tree"]._proofs_from_flat(m_flat_np, 4 * n_pos)
+        fri_proof = fri.assemble_fri(spec, st["pending"], mats[6:])
 
     return StarkProof(
         m_root=m_root_np.astype("<u4").tobytes(),

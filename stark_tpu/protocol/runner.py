@@ -65,6 +65,61 @@ def prove_with_witness(r1cs: R1csContents, witness_bytes: list[bytes]):
     return mk_r1cs_proof(spec, arith, public_wires, h.n_constraints, h.n_wires)
 
 
+def prove_many(
+    r1cs: R1csContents, witness_bytes_list, pipeline: int = 2
+) -> list:
+    """Serving-mode throughput: prove many witnesses of ONE circuit.
+
+    The prover enqueues each proof as a single async device-dispatch chain
+    (all Fiat-Shamir challenges are device-derived), so proofs pipeline
+    naturally: while proof i's arrays stream back and format on the host,
+    proof i+1's dispatches (and the host arithmetization for i+2) already
+    run. `pipeline` bounds the in-flight chains (each holds O(precision)
+    device arrays; 2 fits comfortably at steps 2^17 on a 16 GB chip).
+
+    No reference counterpart (main.rs proves one file per process); this is
+    the deployment shape a proving service wants on a TPU.
+    """
+    from stark_tpu.protocol.prove import (
+        enqueue_r1cs_proof,
+        materialize_r1cs_proof,
+    )
+
+    spec = _spec_for(r1cs)
+    h = r1cs.header
+    n_pub = 1 + h.n_public_inputs + h.n_public_outputs
+    flat = native.flat_from_contents(r1cs) if _use_native() else None
+
+    def _arith(witness_bytes):
+        public_wires = [spec.from_bytes_le(w) for w in witness_bytes[:n_pub]]
+        assert public_wires[0] == 1, "witness[0] must be 1"
+        if flat is not None:
+            wit_np = np.zeros((h.n_wires, 32), np.uint8)
+            for i, wb in enumerate(witness_bytes):
+                wit_np[i, : len(wb)] = np.frombuffer(wb[:32], np.uint8)
+            return _arith_native(spec, flat, wit_np, n_pub), public_wires
+        witness = [spec.from_bytes_le(w) for w in witness_bytes]
+        return (
+            arithmetize(spec, r1cs.constraints, witness, h.n_wires, n_pub),
+            public_wires,
+        )
+
+    proofs: list = []
+    in_flight: list = []
+    for wb in witness_bytes_list:
+        arith, public_wires = _arith(wb)
+        in_flight.append(
+            enqueue_r1cs_proof(
+                spec, arith, public_wires, h.n_constraints, h.n_wires
+            )
+        )
+        if len(in_flight) >= pipeline:
+            proofs.append(materialize_r1cs_proof(spec, in_flight.pop(0)))
+    while in_flight:
+        proofs.append(materialize_r1cs_proof(spec, in_flight.pop(0)))
+    return proofs
+
+
 def _arith_native(spec, flat, witness_np, n_pub) -> Arithmetization:
     """FlatArithmetization -> the Arithmetization shape the prover consumes,
     with columns left as numpy arrays (the device path converts them

@@ -1,0 +1,142 @@
+"""Parallel compile warmup: overlap every XLA compile a prove will trigger.
+
+Cold-starting a new circuit size pays one XLA compile per staged jit --
+trace stages, the LDE engine, quotient/commit/linear-combination stages,
+and ~4 kernels per FRI round at 7+ shrinking shapes -- and a first prove
+triggers them strictly one at a time (each stage waits for the previous
+stage's result). XLA compilation releases the GIL (and runs out-of-process
+on the remote-compile transport), so lowering + compiling all of them from
+a thread pool overlaps the whole set; the executables land in the
+in-process and persistent caches, which the prove then hits.
+
+Usage:
+    from stark_tpu.protocol.warmup import warmup_prover
+    warmup_prover(spec, steps, precision, original_steps, n_pub)
+
+or set STARK_TPU_WARMUP=1 to have the prover warm itself on first use of a
+circuit size (prover stages only; the extra trace work is wasted when the
+size is already compiled, so it is opt-in), or `python -m stark_tpu.cli
+warmup circuit.r1cs` to precompile for a circuit file.
+
+The reference has no counterpart (rustc compiles ahead of time); this is
+the TPU-native equivalent of shipping prebuilt binaries.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+
+from stark_tpu.fields.field import FieldSpec
+from stark_tpu.protocol.params import SPOT_CHECK_SECURITY_FACTOR
+
+
+def _fri_targets(spec: FieldSpec, precision: int, skips: int):
+    """FRI round kernels for every shrinking shape the recursion visits
+    (mirrors the loop in fri.prove_low_degree_pending)."""
+    from stark_tpu.fri import fri
+    from stark_tpu.merkle.tree import _gather_flat_j
+
+    L = spec.num_limbs
+    S = lambda sh, dt=jnp.uint32: jax.ShapeDtypeStruct(sh, dt)
+    root8 = S((8,))
+    t = []
+    n, mdp = precision, precision // 4
+    first = True
+    while mdp > fri.MIN_DEG_DIRECT_CHECKING:
+        quarter = n // 4
+        if not first:
+            # round 0 reuses the caller's l-tree; later value trees are the
+            # previous round's column tree (already compiled at `n`)
+            pass
+        t.append((fri._commit_j, (spec, S((L, quarter)))))
+        t.append((fri._sx_j, (spec, root8)))
+        t.append((fri._ys_j, (root8, quarter, skips)))
+        t.append((fri._fold_j, (spec, S((L, n)), S((L, n)), S((L, 1, 1)))))
+        # branch gathers: value tree (leaf 16 words, width n, 4*40 queries)
+        # and column tree (width quarter, 40 queries)
+        t.append(
+            (_gather_flat_j, (S((16, n)), _layer_avals(n), S((160,), jnp.int32)))
+        )
+        t.append(
+            (_gather_flat_j,
+             (S((16, quarter)), _layer_avals(quarter), S((40,), jnp.int32)))
+        )
+        n, mdp, first = quarter, mdp // 4, False
+    return t
+
+
+def _layer_avals(n: int):
+    """Digest-layer avals as _gather_flat_j receives them (all but root)."""
+    S = lambda sh: jax.ShapeDtypeStruct(sh, jnp.uint32)
+    out = []
+    while n > 1:
+        out.append(S((8, n)))
+        n //= 2
+    return tuple(out)
+
+
+def warmup_targets(
+    spec: FieldSpec, steps: int, precision: int, original_steps: int,
+    n_pub: int = 1,
+):
+    from stark_tpu.merkle.tree import _gather_flat_j
+    from stark_tpu.protocol.prove import _stages_cached
+
+    stages = _stages_cached(spec, steps, precision, original_steps)
+    skips = precision // steps
+    S = lambda sh, dt=jnp.uint32: jax.ShapeDtypeStruct(sh, dt)
+    n_pos = SPOT_CHECK_SECURITY_FACTOR
+    targets = list(stages["warm_targets"](n_pub))
+    # spot-check branch gathers: m-tree (256-byte leaves -> 64 words,
+    # 4 companions per position) and l-tree (32-byte leaves -> 16 words)
+    targets.append(
+        (_gather_flat_j,
+         (S((64, precision)), _layer_avals(precision), S((4 * n_pos,), jnp.int32)))
+    )
+    targets.append(
+        (_gather_flat_j,
+         (S((16, precision)), _layer_avals(precision), S((n_pos,), jnp.int32)))
+    )
+    targets.extend(_fri_targets(spec, precision, skips))
+    return targets
+
+
+def warmup_prover(
+    spec: FieldSpec, steps: int, precision: int, original_steps: int,
+    n_pub: int = 1, threads: int | None = None,
+) -> int:
+    """Compile every prove-time executable for this circuit size in
+    parallel. Returns the number of compiled targets. Idempotent and safe
+    to race with a concurrent prove (jit compile caches are internally
+    locked)."""
+    targets = warmup_targets(spec, steps, precision, original_steps, n_pub)
+    if threads is None:
+        threads = int(
+            os.environ.get("STARK_TPU_WARMUP_THREADS", 0)
+        ) or min(16, (os.cpu_count() or 8))
+
+    def compile_one(ta):
+        fn, args = ta
+        fn.lower(*args).compile()
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(compile_one, targets))
+    return len(targets)
+
+
+_warmed: set = set()
+
+
+def maybe_warmup(spec, steps, precision, original_steps, n_pub) -> None:
+    """Opt-in auto-warmup hook for the prover (STARK_TPU_WARMUP=1)."""
+    if os.environ.get("STARK_TPU_WARMUP", "0") == "0":
+        return
+    key = (spec, steps, precision, original_steps, n_pub)
+    if key in _warmed:
+        return
+    _warmed.add(key)
+    warmup_prover(spec, steps, precision, original_steps, n_pub)
