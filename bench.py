@@ -110,6 +110,11 @@ def main():
         t0 = time.time()
         ok = runner.verify_with_witness(r1cs, wb[:2], proof) and ok
         verify_s = time.time() - t0
+        # serving throughput: pipeline 4 proofs (enqueue i+1 while i's
+        # arrays stream back) -- the deployment shape of a proving service
+        t0 = time.time()
+        proofs = runner.prove_many(r1cs, [wb] * 4, pipeline=2)
+        many_s = time.time() - t0
         try:
             dev_peak = jax.local_devices()[0].memory_stats().get(
                 "peak_bytes_in_use"
@@ -119,6 +124,7 @@ def main():
         e2e = {
             "prove_s": round(e2e_s, 2),
             "prove_cold_s": round(e2e_cold_s, 2),
+            "serving_proofs_per_s": round(len(proofs) / many_s, 3),
             "verify_s": round(verify_s, 2),
             "verify_cold_s": round(verify_cold_s, 2),
             "verified": bool(ok),

@@ -1,0 +1,78 @@
+"""Cold-start measurement: parallel warmup + first prove on a FRESH cache.
+
+Times `warmup_prover` (parallel compiles) and the first full prove for a
+circuit size, with the persistent cache pointed at a throwaway dir so
+nothing is reused locally. Compare against the serial cold numbers in
+BASELINE.md (826 s first prove / 2,352 s setup at steps 2^17).
+
+    N=21845 python scripts/coldstart_tpu.py            # steps 2^16
+    N=21845 WARMUP=0 python scripts/coldstart_tpu.py   # serial baseline
+"""
+
+import json
+import os
+import tempfile
+import time
+
+import jax
+
+cache = os.environ.get("CACHE_DIR") or tempfile.mkdtemp(prefix="stark_cold_")
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from stark_tpu.fields.field import BN254_FR as spec
+from stark_tpu.protocol import runner
+from stark_tpu.protocol.params import derive_params
+from stark_tpu.protocol.warmup import warmup_prover
+from stark_tpu.r1cs.arithmetize import arithmetize
+from stark_tpu.r1cs.synth import squaring_chain
+
+
+def main():
+    n = int(os.environ.get("N", 21845))
+    do_warm = os.environ.get("WARMUP", "1") != "0"
+    r1cs, wb = squaring_chain(n)
+
+    warm_s = None
+    if do_warm:
+        h = r1cs.header
+        n_pub = 1 + h.n_public_inputs + h.n_public_outputs
+        arith = arithmetize(spec, r1cs.constraints, None, h.n_wires, n_pub)
+        params = derive_params(spec, arith.original_steps)
+        t0 = time.time()
+        n_targets = warmup_prover(
+            spec,
+            params.steps,
+            params.precision,
+            arith.original_steps,
+            len(arith.public_first_indices),
+        )
+        warm_s = time.time() - t0
+        print(f"warmup: {n_targets} targets in {warm_s:.1f}s", flush=True)
+
+    t0 = time.time()
+    proof = runner.prove_with_witness(r1cs, wb)
+    first_prove_s = time.time() - t0
+    t0 = time.time()
+    runner.prove_with_witness(r1cs, wb)
+    second_prove_s = time.time() - t0
+
+    print(
+        "MEASURE "
+        + json.dumps(
+            {
+                "kind": "coldstart",
+                "n_constraints": n,
+                "warmup_s": None if warm_s is None else round(warm_s, 1),
+                "first_prove_s": round(first_prove_s, 1),
+                "second_prove_s": round(second_prove_s, 1),
+                "cache_dir": cache,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -327,12 +327,20 @@ def make_ntt_plan_cached(
 
 def make_lde_plans(spec: FieldSpec, g1: int, g2: int, steps: int, precision: int):
     """(iNTT plan at g1^-1 with n^-1 scale, big NTT plan at g2 with
-    zero-structure) mirroring `prove.rs:100-169`'s LDE pairs."""
+    zero-structure) mirroring `prove.rs:100-169`'s LDE pairs.
+
+    precision <= 2^20 fits the two-level plan (both contractions <= 1024,
+    the f32-exactness bound); above that the big transform gets the
+    three-level `MxuNttPlan3` (outer n1 = precision/2^20 rides the batch
+    axis; inner contractions stay 1024)."""
     p = spec.p
     inv_plan = make_ntt_plan_cached(
         spec, pow(spec.inv(g1), 1, p), steps, scale=spec.inv(steps)
     )
     logp = precision.bit_length() - 1
+    if precision > 1 << 20:
+        big_plan = MxuNttPlan3(spec, g2, precision, n1=precision >> 20)
+        return inv_plan, big_plan
     n1 = 1 << ((logp + 1) // 2)
     n2 = precision // n1
     big_plan = make_ntt_plan_cached(
@@ -341,12 +349,20 @@ def make_lde_plans(spec: FieldSpec, g1: int, g2: int, steps: int, precision: int
     return inv_plan, big_plan
 
 
-def lde_mxu(inv_plan: MxuNttPlan, big_plan: MxuNttPlan, trace):
+def lde_mxu(inv_plan: MxuNttPlan, big_plan, trace):
     """(L, steps) -> (L, precision) low-degree extension, all on the MXU.
-    The zero-pad between the transforms is a pure reshape: coefficients are
-    natural-order, so the padded (n1, n2) view's nonzero rows are exactly
-    the coefficient array."""
+    With a two-level big plan the zero-pad between the transforms is a pure
+    reshape (natural-order coefficients ARE the nonzero rows of the padded
+    (n1, n2) view); the three-level plan (precision > 2^20) takes the
+    explicitly padded coefficient vector."""
     coeffs = ntt_mxu(inv_plan, trace)  # natural-order coefficients * n^-1
+    if isinstance(big_plan, MxuNttPlan3):
+        L = coeffs.shape[0]
+        pad = big_plan.n - coeffs.shape[1]
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros((L, pad), jnp.uint32)], axis=1
+        )
+        return ntt_mxu3(big_plan, coeffs)
     return ntt_mxu(big_plan, coeffs)
 
 

@@ -486,12 +486,16 @@ def use_mxu_lde(steps: int, precision: int) -> bool:
     STARK_TPU_MXU=0 disables; =1 enables on any backend; =force drops the
     size floor (tests)."""
     env = os.environ.get("STARK_TPU_MXU", "auto")
-    if precision > 1 << 20:
-        return False
+    if precision > 1 << 24:
+        return False  # three-level twiddle tables outgrow HBM
     if env == "force":
         return True
     if env == "0" or steps < 1 << 12:
         return False
+    if precision > 1 << 20:
+        # three-level plan (MxuNttPlan3 LDE): opt-in until the dbg3
+        # discriminator validates it on hardware at these sizes
+        return env == "1"
     if env == "1":
         return True
     import jax

@@ -107,3 +107,21 @@ def test_shoup_butterfly_lde_matches_default(monkeypatch):
     assert sh_plan.small_dif.shoup and sh_plan.big_dit.shoup
     got = from_mont_ints(nttm.lde(spec, tr, sh_plan))
     assert got == want
+
+
+def test_lde_mxu3_matches_lde():
+    """LDE through the three-level big plan (the precision > 2^20 route,
+    built here at a small size) matches the butterfly LDE."""
+    rng = np.random.default_rng(6)
+    steps, precision = 1 << 9, 1 << 12
+    g2 = spec.root_of_unity(precision)
+    g1 = pow(g2, precision // steps, P)
+    inv_plan = mxu_ntt.make_ntt_plan_cached(
+        spec, pow(spec.inv(g1), 1, P), steps, scale=spec.inv(steps)
+    )
+    big3 = mxu_ntt.MxuNttPlan3(spec, g2, precision, n1=4)
+    vals, tr = rand_mont(rng, steps)
+    out = from_mont_ints(mxu_ntt.lde_mxu(inv_plan, big3, tr))
+    ref_plan = nttm.make_lde_plan(spec, g1, g2, steps, precision)
+    want = from_mont_ints(nttm.lde(spec, tr, ref_plan))
+    assert out == want
