@@ -115,9 +115,10 @@ def warmup_prover(
     locked)."""
     targets = warmup_targets(spec, steps, precision, original_steps, n_pub)
     if threads is None:
-        threads = int(
-            os.environ.get("STARK_TPU_WARMUP_THREADS", 0)
-        ) or min(16, (os.cpu_count() or 8))
+        # remote/XLA compiles are IO/out-of-process-bound, NOT host-CPU
+        # bound -- do not tie this to os.cpu_count() (single-vCPU TPU
+        # frontends would serialize the whole warmup)
+        threads = int(os.environ.get("STARK_TPU_WARMUP_THREADS", 0)) or 8
 
     def compile_one(ta):
         fn, args = ta
