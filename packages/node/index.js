@@ -67,4 +67,10 @@ function verify(r1csBuffer, wtnsBuffer, proofJson) {
   }
 }
 
-module.exports = { prove, verify, proveWithFilePath, verifyWithFilePath };
+/** Precompile every prover/verifier executable for a circuit (parallel;
+ * fills the persistent compile cache ahead of serving traffic). */
+function warmup(r1csPath) {
+  run(["warmup", r1csPath]);
+}
+
+module.exports = { prove, verify, proveWithFilePath, verifyWithFilePath, warmup };
