@@ -350,8 +350,15 @@ def build_proof_stages(
         vn, vd = kernels.rand_combination(spec, r_mont, idx_small, perm_small, s_small)
         return kernels.accumulator_mini(spec, vn, vd)
 
+    # domain tables travel as ARGUMENTS (pytree), never closures: closed-
+    # over concrete arrays are serialized into the compile request, and at
+    # precision 2^22 the four (L, N) tables overflow the remote-compile
+    # transport's body limit (HTTP 413)
+    dom = (inv_z_full, x2s_full, xs_full, inv_zb3)
+
     @jax.jit
-    def rest_a(evs, a_ev, r_mont, i2_mont, pubx_mont):
+    def rest_a_j(evs, a_ev, r_mont, i2_mont, pubx_mont, dom):
+        inv_z_full, x2s_full, xs_full, inv_zb3 = dom
         q1 = kernels.q1_eval(
             spec, evs["s"], evs["k"], evs["p"], evs["f0"], evs["f1"], skips
         )
@@ -380,6 +387,9 @@ def build_proof_stages(
         }
         return cols, q_bad
 
+    def rest_a(evs, a_ev, r_mont, i2_mont, pubx_mont):
+        return rest_a_j(evs, a_ev, r_mont, i2_mont, pubx_mont, dom)
+
     _COLS = ("p", "a", "s", "d1", "d2", "d3", "b2", "b3")
 
     @jax.jit
@@ -388,10 +398,13 @@ def build_proof_stages(
         return words, mt._build_layers(words, 256)
 
     @jax.jit
-    def linc_j(k_mont, cols):
+    def linc_base_j(k_mont, cols, x2s_full):
         return kernels.linear_combination(
             spec, k_mont, x2s_full, *[cols[n] for n in _COLS]
         )
+
+    def linc_j(k_mont, cols):
+        return linc_base_j(k_mont, cols, x2s_full)
 
     @jax.jit
     def l_commit_j(l_ev):
@@ -445,9 +458,10 @@ def build_proof_stages(
                         S((steps,), u8), S((steps,)), S((steps,)))),
             (a_root_j, (S((1, steps)), S((1, steps)), col)),
             (acc_j, (col, col, col, S((L, 3)))),
-            (rest_a, (evs_av, ev, S((L, 3)), S((L, n_pub)), S((L, n_pub)))),
+            (rest_a_j, (evs_av, ev, S((L, 3)), S((L, n_pub)), S((L, n_pub)),
+                        (ev, ev, ev, ev))),
             (m_commit_j, (cols_av,)),
-            (linc_j, (S((L, 11)), cols_av)),
+            (linc_base_j, (S((L, 11)), cols_av, ev)),
             (l_commit_j, (ev,)),
             (r_j, (root8,)),
             (k_j, (root8,)),
