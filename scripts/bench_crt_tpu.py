@@ -2,6 +2,9 @@
 vs the pallas butterfly LDE. Run each phase guarded so a hang is attributable.
 Usage: python -u _mb_crt_tpu.py [probe|lde]
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os, sys, time
 import jax, numpy as np
 import jax.numpy as jnp

@@ -1,5 +1,8 @@
 """Granular TPU bisect of the CRT pipeline: run each op category ascending
 so the last printed line identifies any wedge. python -u _mb_bisect_crt.py"""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os, time
 import jax, numpy as np
 import jax.numpy as jnp

@@ -9,6 +9,9 @@ BASELINE.md (826 s first prove / 2,352 s setup at steps 2^17).
     N=21845 WARMUP=0 python scripts/coldstart_tpu.py   # serial baseline
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 import json
 import os
 import tempfile

@@ -1,5 +1,8 @@
 """Isolate the large-scale CRT failure: contraction size sweep + raw bdot
 accumulation check."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os
 import jax, numpy as np
 import jax.numpy as jnp

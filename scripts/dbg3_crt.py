@@ -3,6 +3,9 @@ Compares against the CPU ground truth saved at /tmp/lde_mxu_cpu.npy
 (input: rng(0), a_np[15] &= 0x2FFF).
 Order: cheapest/most-informative first; prints after every step.
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os, time
 import jax, numpy as np
 import jax.numpy as jnp

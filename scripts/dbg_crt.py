@@ -1,4 +1,7 @@
 """TPU correctness drill-down for the CRT NTT: find the diverging stage."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os, time
 import jax, numpy as np
 import jax.numpy as jnp

@@ -8,6 +8,9 @@ table only covers <= 2^20).
     STEPS_LOG=19 PREC_LOG=22 python scripts/dbg_mxu3.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 import os
 import time
 

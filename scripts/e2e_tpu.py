@@ -10,6 +10,9 @@ numbers.
     N=43690 REPEAT=2 python scripts/e2e_tpu.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 import json
 import os
 import resource

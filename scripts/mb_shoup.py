@@ -8,6 +8,9 @@ shoup_mul(w, w', x) with w' = floor(w*2^256/p):
     x, outputs in [0, 2p).
 Mult count ~1.7 bigmuls vs Montgomery's 3.
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import functools, os, time
 import jax, numpy as np
 import jax.numpy as jnp
