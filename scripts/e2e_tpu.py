@@ -34,6 +34,8 @@ from stark_tpu.r1cs.synth import squaring_chain
 def device_mem():
     try:
         stats = jax.local_devices()[0].memory_stats()
+        if stats is None:  # tunneled/remote devices return None
+            return {"error": "memory_stats() is None on this backend"}
         return {
             "bytes_in_use": stats.get("bytes_in_use"),
             "peak_bytes_in_use": stats.get("peak_bytes_in_use"),

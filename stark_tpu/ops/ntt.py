@@ -480,9 +480,11 @@ def use_mxu_lde(steps: int, precision: int) -> bool:
     """Route LDEs to the CRT/MXU matmul engine (ops/mxu_ntt)?
 
     Default ("auto"): on for large domains on the TPU backend, where the
-    engine is bit-exact at full production scale (scripts/dbg3_crt.py
-    decision table, 2026-08-17) and the measured core is 1.7x faster than
-    the Pallas butterfly engine (0.54 s vs 0.93 s at steps 2^17).
+    engine is bit-exact at full production scale (two-level: scripts/
+    dbg3_crt.py decision table; three-level >2^20: scripts/dbg_mxu3.py
+    MXU3_DISCRIMINATOR equal=True at steps 2^19 / precision 2^22,
+    2026-08-18) and measured faster than the Pallas butterfly engine
+    (core 0.54 s vs 0.93 s at steps 2^17; 2^22 LDE 1.4x).
     STARK_TPU_MXU=0 disables; =1 enables on any backend; =force drops the
     size floor (tests)."""
     env = os.environ.get("STARK_TPU_MXU", "auto")
@@ -492,10 +494,6 @@ def use_mxu_lde(steps: int, precision: int) -> bool:
         return True
     if env == "0" or steps < 1 << 12:
         return False
-    if precision > 1 << 20:
-        # three-level plan (MxuNttPlan3 LDE): opt-in until the dbg3
-        # discriminator validates it on hardware at these sizes
-        return env == "1"
     if env == "1":
         return True
     import jax

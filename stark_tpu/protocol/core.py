@@ -22,6 +22,11 @@ from stark_tpu.ops import ntt as nttm
 from stark_tpu.protocol import kernels
 from stark_tpu.parallel.prove_sharded import _leaves_to_words
 
+# Above this precision the CRT/MXU engine's fused multi-column LDE module
+# OOMs HBM (observed at 2^22 on v5e: ~1 GB live HLO temps per column across
+# 9 columns); larger domains dispatch one column per jit call instead.
+_MXU_FUSE_MAX_PRECISION = 1 << 20
+
 
 def merkle_root_local(leaf_words, leaf_bytes: int):
     """(W, N) leaf words -> (8,) root digest words, all on device."""
@@ -146,11 +151,18 @@ def build_staged_prover(
         inv_plan, big_plan = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
         lde_base = jax.jit(lambda t, ip, bp: mxu_ntt.lde_mxu(ip, bp, t))
         lde_j = lambda t: lde_base(t, inv_plan, big_plan)
-        # all 9 columns in ONE dispatch (sequentially scheduled by XLA)
         lde_many_base = jax.jit(
             lambda ts, ip, bp: mxu_ntt.lde_mxu_many(ip, bp, ts)
         )
-        lde_many = lambda ts: lde_many_base(ts, inv_plan, big_plan)
+        if precision > _MXU_FUSE_MAX_PRECISION:
+            # per-column dispatches: the fused multi-column module's live
+            # HLO temps (~1 GB/column in the three-level plan) exceed HBM
+            # at 2^22; one column at a time is the shape scripts/dbg_mxu3.py
+            # validated on hardware
+            lde_many = lambda ts: [lde_j(t) for t in ts]
+        else:
+            # all 9 columns in ONE dispatch (sequentially scheduled by XLA)
+            lde_many = lambda ts: lde_many_base(ts, inv_plan, big_plan)
     else:
         lde_base = jax.jit(lambda t, pl: nttm.lde(spec, t, pl))
         lde_j = lambda t: lde_base(t, lde_plan)
@@ -262,7 +274,13 @@ def build_proof_stages(
 
         inv_plan, big_plan = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
         lde_many_base = jax.jit(lambda ts, ip, bp: mxu_ntt.lde_mxu_many(ip, bp, ts))
-        lde_many = lambda ts: lde_many_base(ts, inv_plan, big_plan)
+        if precision > _MXU_FUSE_MAX_PRECISION:
+            # see build_staged_prover: fused multi-column modules OOM >2^20
+            lde_many = lambda ts: [
+                lde_many_base([t], inv_plan, big_plan)[0] for t in ts
+            ]
+        else:
+            lde_many = lambda ts: lde_many_base(ts, inv_plan, big_plan)
     else:
         lde_plan = nttm.make_lde_plan(spec, g1, g2, steps, precision)
         lde_base = jax.jit(lambda t, pl: nttm.lde(spec, t, pl))
@@ -468,8 +486,11 @@ def build_proof_stages(
             (pos_j, (root8,)),
         ]
         if use_mxu:
-            t.append((lde_many_base, ([col] * 9, inv_plan, big_plan)))
-            t.append((lde_many_base, ([col] * 6, inv_plan, big_plan)))
+            if precision > _MXU_FUSE_MAX_PRECISION:
+                t.append((lde_many_base, ([col], inv_plan, big_plan)))
+            else:
+                t.append((lde_many_base, ([col] * 9, inv_plan, big_plan)))
+                t.append((lde_many_base, ([col] * 6, inv_plan, big_plan)))
         else:
             t.append((lde_base, (col, lde_plan)))
         return t
