@@ -17,10 +17,10 @@ would. Run directly:
 against the single-process mesh run.
 """
 
+from __future__ import annotations
+
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
-
-from __future__ import annotations
 
 import argparse
 import json

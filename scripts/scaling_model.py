@@ -1,0 +1,141 @@
+"""Multi-chip NTT scaling-efficiency model anchored on a measured 1-chip NTT.
+
+BASELINE.json asks for ">=80% multi-host NTT scaling efficiency". This
+image has ONE real chip, so N-chip efficiency cannot be measured; this
+script produces the next-best artifact: an analytic model of the sharded
+four-step NTT (`stark_tpu/parallel/ntt4.py` — correctness is separately
+pinned by tests on the 8-device virtual mesh) with every assumption
+printed, anchored on the measured single-chip transform time.
+
+Model (1-D ICI ring of d chips, N-point transform, b bytes/element):
+  compute: the four-step split keeps the same log2(N) butterfly stages
+    (log2(d) cross-device + log2(N/d) local) -> t_comp = t1/d, plus the
+    step-3 twiddle multiply (one field mul/element; a butterfly stage
+    costs one mul per PAIR, so this is ~2 stages -> 2/log2(N) overhead).
+  communication: 3 all-to-alls (ntt4.py steps 1/4/6), each moving the
+    full array once. Min-hop bidirectional ring all-to-all: total
+    byte-hops = (N*b/d)^ ... = N*b*d/4, spread over 2d directed links
+    -> t_a2a = N*b / (8*W_dir) per all-to-all, independent of d.
+  ICI (Google-published v5e spec): 1600 Gbps/chip aggregate over 4 ports;
+    a 1-D ring uses one port per direction -> W_dir = 50 GB/s.
+  efficiency(d) = t1/d / (t_comp + 3*t_a2a).
+
+Run on TPU (measures t1 live) or pass T1_MS to skip the measurement:
+
+    NTT_LOG=20 COLUMNS=9 python scripts/scaling_model.py
+    T1_MS=66 NTT_LOG=20 python scripts/scaling_model.py
+"""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
+import json
+import math
+import os
+import time
+
+W_DIR = 50e9  # bytes/s per ICI port per direction (v5e: 1600 Gbps / 4 ports / 2 dirs)
+DCN_HOST = 12.5e9  # bytes/s per host each way (100 Gbps NIC, conservative)
+
+
+def measure_t1(n: int, columns: int) -> float:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_stark")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stark_tpu.fields.field import BN254_FR as spec
+    from stark_tpu.ops import modmath as mm
+    from stark_tpu.ops import ntt as nttm
+
+    g = spec.root_of_unity(n)
+    rng = np.random.default_rng(0)
+    vals = [int(v) % spec.p for v in rng.integers(0, 1 << 62, size=n, dtype=np.uint64)]
+    col = mm.to_mont(spec, jnp.asarray(mm.ints_to_limbs_np(vals, spec)))
+    w_half = nttm.forward_table(spec, g, n)
+    fwd = jax.jit(lambda t, w: nttm.ntt(spec, t, w))
+    _ = np.asarray(fwd(col, w_half))
+    iters = int(os.environ.get("ITERS", 5))
+    t0 = time.time()
+    for _ in range(iters):
+        _ = np.asarray(fwd(col, w_half))
+    per_col = (time.time() - t0) / iters
+    print(f"# measured 1-chip NTT(2^{n.bit_length()-1}) = {per_col*1e3:.1f} ms/column "
+          f"({os.environ.get('ITERS', 5)} iters, backend={jax.default_backend()})",
+          flush=True)
+    return per_col * columns
+
+
+def main():
+    n = 1 << int(os.environ.get("NTT_LOG", 20))
+    columns = int(os.environ.get("COLUMNS", 9))  # the prover's LDE batch
+    bytes_per_elt = 64  # 16 u32 limbs (two 16-bit half-limbs per u32)
+
+    t1_ms = os.environ.get("T1_MS")
+    t1 = float(t1_ms) / 1e3 * columns if t1_ms else measure_t1(n, columns)
+
+    vol = n * bytes_per_elt * columns
+    t_a2a = vol / (8 * W_DIR)
+    tw_overhead = 2 / math.log2(n)  # step-3 twiddle mul
+    rows = []
+    for d in (2, 4, 8, 16, 32, 64):
+        t_comp = (t1 / d) * (1 + tw_overhead)
+        t_total = t_comp + 3 * t_a2a
+        eff = (t1 / d) / t_total
+        rows.append(
+            {
+                "chips": d,
+                "t_total_ms": round(t_total * 1e3, 3),
+                "speedup": round(t1 / t_total, 2),
+                "efficiency_pct": round(eff * 100, 1),
+            }
+        )
+
+    # two hosts over DCN, three layouts (16 chips = 2 hosts x 8):
+    # (a) domain-parallel across hosts: the host-boundary all-to-all
+    #     traffic (half the volume) drains at DCN rate instead of ICI rate
+    d2 = 16
+    t_a2a_dcn = (vol / 2) / DCN_HOST
+    t_comp = (t1 / d2) * (1 + tw_overhead)
+    eff_dcn = (t1 / d2) / (t_comp + 3 * max(t_a2a, t_a2a_dcn))
+    # (b) column-parallel across hosts: each host LDEs half the trace
+    #     columns domain-parallel on its own 8-chip ICI ring (all three
+    #     all-to-alls stay on ICI), then ONE all-gather of the LDE'd
+    #     columns over DCN re-replicates them for Merkle leaf packing.
+    t_ag_dcn = (vol / 2) / DCN_HOST
+    t_col = (t1 / d2) * (1 + tw_overhead) + 3 * t_a2a + t_ag_dcn
+    eff_col = (t1 / d2) / t_col
+    # (c) proof-parallel across hosts (the serving axis): independent
+    #     proofs, zero cross-host bytes -> efficiency 1.0 by construction.
+
+    print(
+        json.dumps(
+            {
+                "metric": "ntt_scaling_efficiency_modeled",
+                "n": n,
+                "columns": columns,
+                "t1_ms": round(t1 * 1e3, 1),
+                "a2a_ms_each": round(t_a2a * 1e3, 3),
+                "assumptions": {
+                    "ici_dir_bytes_per_s": W_DIR,
+                    "ring_a2a": "N*b/(8*W_dir) per all-to-all, 3 per transform",
+                    "dcn_host_bytes_per_s": DCN_HOST,
+                },
+                "ici_1d_ring": rows,
+                "two_hosts_16chip_dcn_efficiency_pct": {
+                    "domain_parallel": round(eff_dcn * 100, 1),
+                    "column_parallel": round(eff_col * 100, 1),
+                    "proof_parallel_serving": 100.0,
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
