@@ -75,6 +75,7 @@ def main(argv=None) -> int:
             arith.original_steps,
             len(arith.public_first_indices),
             threads=args.threads,
+            n_wires=(h.n_wires if runner._device_arith() else 0),
         )
         print(f"warmed {n} executables (steps={params.steps})")
     elif args.cmd == "prove":

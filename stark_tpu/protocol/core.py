@@ -288,50 +288,13 @@ def build_proof_stages(
 
     to_mont_j = jax.jit(lambda raw: mm.to_mont(spec, raw))
 
-    @jax.jit
-    def traces_j(ksp_bytes, f1_u8, f2_u8, perm_lo, perm_hi):
-        """Montgomery trace columns from a minimal host transfer:
-        ksp_bytes (3*steps, 2L) canonical LE byte rows of K||S||P (the
-        native arithmetizer's output format -- half the bytes of limb
-        planes over the transport), flag columns as u8 vectors, the
-        permutation as u32 lo/hi. f0 (all ones, run.rs:287) and idx
-        (iota) never leave the device."""
+    def _flag_idx_perm(f1_u8, f2_u8, perm_lo, perm_hi):
+        """Shared device construction of the public columns: flags from u8
+        vectors, f0 (all ones, run.rs:287) and idx (iota) generated on
+        device, the permutation from u32 lo/hi pairs. Flags zero-pad
+        beyond original_steps like every other column (prove.rs:100-116
+        zero-pads inside inv_best_fft)."""
         L = spec.num_limbs
-        ksp = mm.to_mont(spec, mm.bytes_le_to_limbs(spec, ksp_bytes))
-        k_m = jax.lax.slice_in_dim(ksp, 0, steps, axis=1)
-        s_m = jax.lax.slice_in_dim(ksp, steps, 2 * steps, axis=1)
-        p_m = jax.lax.slice_in_dim(ksp, 2 * steps, 3 * steps, axis=1)
-        one = jnp.broadcast_to(mm.mont_one(spec), (L, steps))
-        zero = jnp.zeros((L, steps), jnp.uint32)
-        iota0 = jnp.arange(steps, dtype=jnp.uint32)
-        # flags zero-pad beyond original_steps like every other column
-        # (prove.rs:100-116 zero-pads inside inv_best_fft)
-        f0_m = jnp.where(iota0[None, :] < original_steps, one, zero)
-        f1_m = jnp.where(f1_u8[None, :] != 0, one, zero)
-        f2_m = jnp.where(f2_u8[None, :] != 0, one, zero)
-
-        def from_u32pair(lo, hi):
-            limbs = jnp.stack(
-                [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
-                + [jnp.zeros_like(lo)] * (L - 4),
-                axis=0,
-            )
-            return mm.to_mont(spec, limbs)
-
-        iota = jnp.arange(steps, dtype=jnp.uint32)
-        idx_m = from_u32pair(iota, jnp.zeros_like(iota))
-        perm_m = from_u32pair(perm_lo, perm_hi)
-        return {
-            "k": k_m, "f0": f0_m, "f1": f1_m, "f2": f2_m,
-            "s": s_m, "p": p_m, "idx": idx_m, "perm": perm_m,
-        }
-
-    @jax.jit
-    def v_cols_j(k_bytes, f1_u8, f2_u8, perm_lo, perm_hi):
-        """The verifier's 6 public columns (no S/P) from the same minimal
-        transfer shape (K as canonical LE byte rows)."""
-        L = spec.num_limbs
-        k_m = mm.to_mont(spec, mm.bytes_le_to_limbs(spec, k_bytes))
         one = jnp.broadcast_to(mm.mont_one(spec), (L, steps))
         zero = jnp.zeros((L, steps), jnp.uint32)
         iota0 = jnp.arange(steps, dtype=jnp.uint32)
@@ -349,6 +312,70 @@ def build_proof_stages(
 
         idx_m = from_u32pair(iota0, jnp.zeros_like(iota0))
         perm_m = from_u32pair(perm_lo, perm_hi)
+        return f0_m, f1_m, f2_m, idx_m, perm_m
+
+    @jax.jit
+    def traces_j(ksp_bytes, f1_u8, f2_u8, perm_lo, perm_hi):
+        """Montgomery trace columns from a minimal host transfer:
+        ksp_bytes (3*steps, 2L) canonical LE byte rows of K||S||P (the
+        native arithmetizer's output format -- half the bytes of limb
+        planes over the transport), flag columns as u8 vectors, the
+        permutation as u32 lo/hi."""
+        ksp = mm.to_mont(spec, mm.bytes_le_to_limbs(spec, ksp_bytes))
+        k_m = jax.lax.slice_in_dim(ksp, 0, steps, axis=1)
+        s_m = jax.lax.slice_in_dim(ksp, steps, 2 * steps, axis=1)
+        p_m = jax.lax.slice_in_dim(ksp, 2 * steps, 3 * steps, axis=1)
+        f0_m, f1_m, f2_m, idx_m, perm_m = _flag_idx_perm(
+            f1_u8, f2_u8, perm_lo, perm_hi
+        )
+        return {
+            "k": k_m, "f0": f0_m, "f1": f1_m, "f2": f2_m,
+            "s": s_m, "p": p_m, "idx": idx_m, "perm": perm_m,
+        }
+
+    @jax.jit
+    def wit_traces_j(k_bytes, wit_bytes, wids, f1_u8, f2_u8, perm_lo, perm_hi):
+        """Device arithmetization of the witness-dependent columns: only the
+        witness (n_wires rows) crosses the transport per proof. S gathers
+        the witness by per-slot wire id (run.rs:150-171 semantics, ids from
+        `arithmetize.slot_wire_ids_np`); P is the gated accumulator
+        P[j] = F1[j]*P[j-1] + K[j]*S[j] (run.rs:159, the recurrence Q1
+        checks at utils.rs:181-213) as a log-depth associative scan whose
+        combine uses only mod-adds and selects (the F1 gate is boolean)."""
+        k_m = mm.to_mont(spec, mm.bytes_le_to_limbs(spec, k_bytes))
+        wit_m = mm.to_mont(spec, mm.bytes_le_to_limbs(spec, wit_bytes))
+        iota0 = jnp.arange(steps, dtype=jnp.uint32)
+        live = iota0 < original_steps
+        s_m = jnp.where(live[None, :], jnp.take(wit_m, wids, axis=1), 0)
+        ks = mm.mmul(spec, k_m, s_m)
+        # F1 is 0 at every constraint start; broadcast to the limb planes
+        # (associative_scan wants identical leaf shapes on the scan axis)
+        gate = jnp.broadcast_to(
+            ((f1_u8 != 0) & live)[None, :], ks.shape
+        )
+
+        def combine(left, right):
+            al, bl = left
+            ar, br = right
+            return (al & ar, jnp.where(ar, mm.madd(spec, bl, br), br))
+
+        _, p_m = jax.lax.associative_scan(combine, (gate, ks), axis=1)
+        f0_m, f1_m, f2_m, idx_m, perm_m = _flag_idx_perm(
+            f1_u8, f2_u8, perm_lo, perm_hi
+        )
+        return {
+            "k": k_m, "f0": f0_m, "f1": f1_m, "f2": f2_m,
+            "s": s_m, "p": p_m, "idx": idx_m, "perm": perm_m,
+        }
+
+    @jax.jit
+    def v_cols_j(k_bytes, f1_u8, f2_u8, perm_lo, perm_hi):
+        """The verifier's 6 public columns (no S/P) from the same minimal
+        transfer shape (K as canonical LE byte rows)."""
+        k_m = mm.to_mont(spec, mm.bytes_le_to_limbs(spec, k_bytes))
+        f0_m, f1_m, f2_m, idx_m, perm_m = _flag_idx_perm(
+            f1_u8, f2_u8, perm_lo, perm_hi
+        )
         return [k_m, f0_m, f1_m, f2_m, idx_m, perm_m]
 
     @jax.jit
@@ -455,12 +482,14 @@ def build_proof_stages(
         aug = (pos[:, None] + offs[None, :]) % np.uint32(precision)
         return pos, aug.reshape(-1)
 
-    def warm_targets(n_pub: int):
+    def warm_targets(n_pub: int, n_wires: int = 0):
         """(jit_fn, example_args) pairs covering every compile a prove (and
         the verifier's column stages) will trigger at this circuit size, so
         :mod:`stark_tpu.protocol.warmup` can lower+compile them from a
         thread pool. Args are ShapeDtypeStructs except the LDE plans, whose
-        concrete tables double as trace-time constants."""
+        concrete tables double as trace-time constants. Pass n_wires to
+        also cover the device-arithmetization stage (its compile depends on
+        the witness length)."""
         L = spec.num_limbs
         S = lambda sh, dt=jnp.uint32: jax.ShapeDtypeStruct(sh, dt)
         u8 = jnp.uint8
@@ -474,6 +503,14 @@ def build_proof_stages(
                         S((steps,), u8), S((steps,)), S((steps,)))),
             (v_cols_j, (S((steps, 2 * L), u8), S((steps,), u8),
                         S((steps,), u8), S((steps,)), S((steps,)))),
+        ]
+        if n_wires:
+            t.append(
+                (wit_traces_j, (S((steps, 2 * L), u8), S((n_wires, 2 * L), u8),
+                                S((steps,)), S((steps,), u8), S((steps,), u8),
+                                S((steps,)), S((steps,))))
+            )
+        t += [
             (a_root_j, (S((1, steps)), S((1, steps)), col)),
             (acc_j, (col, col, col, S((L, 3)))),
             (rest_a_j, (evs_av, ev, S((L, 3)), S((L, n_pub)), S((L, n_pub)),
@@ -499,6 +536,7 @@ def build_proof_stages(
         "xs_full": xs_full,
         "to_mont": to_mont_j,
         "traces": traces_j,
+        "wit_traces": wit_traces_j,
         "v_cols": v_cols_j,
         "lde_many": lde_many,
         "a_root": a_root_j,

@@ -170,7 +170,8 @@ def enqueue_r1cs_proof(
     from stark_tpu.protocol.warmup import maybe_warmup
 
     maybe_warmup(
-        spec, steps, precision, original_steps, len(arith.public_first_indices)
+        spec, steps, precision, original_steps, len(arith.public_first_indices),
+        n_wires=(arith.witness_le.shape[0] if arith.witness_le is not None else 0),
     )
     stages = _stages_cached(spec, steps, precision, original_steps)
     xs_full = stages["xs_full"]
@@ -189,29 +190,64 @@ def enqueue_r1cs_proof(
             dtype=np.uint64,
         )
 
-    # --- all 8 small-domain columns from a minimal host transfer: only
-    # K/S/P move as full field columns; flags travel as u8, the
-    # permutation as u32 pairs, and f0/idx are generated on device ---
+    # --- all 8 small-domain columns from a minimal host transfer: flags
+    # travel as u8, the permutation as u32 pairs, f0/idx are generated on
+    # device. Device arithmetization (witness_le + slot_wire_ids set):
+    # only K (circuit-static) and the witness move, and S/P are derived on
+    # device. Legacy: K/S/P move as full byte columns. ---
     with phase("traces"):
-        ksp = np.concatenate(
-            [
-                _col_bytes_np(spec, _pad_col(arith.coefficients, steps)),
-                _col_bytes_np(spec, _pad_col(arith.witness_trace, steps)),
-                _col_bytes_np(spec, _pad_col(arith.computational_trace, steps)),
-            ],
-            axis=0,
-        )
         f1_u8 = np.asarray(_pad_col(arith.flag1, steps), dtype=np.uint8)
         f2_u8 = np.asarray(_pad_col(arith.flag2, steps), dtype=np.uint8)
         perm_lo = (permuted & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         perm_hi = (permuted >> np.uint64(32)).astype(np.uint32)
-        traces = stages["traces"](
-            jnp.asarray(ksp),
-            jnp.asarray(f1_u8),
-            jnp.asarray(f2_u8),
-            jnp.asarray(perm_lo),
-            jnp.asarray(perm_hi),
-        )
+        if arith.witness_le is not None and arith.slot_wire_ids is not None:
+            # circuit-static arrays upload ONCE per (arith, steps): serving
+            # loops (prove_many) reuse the same arith across witnesses, so
+            # only the witness crosses the transport per proof
+            statics = getattr(arith, "_device_statics", None)
+            if statics is None or statics[0] != steps:
+                wids = np.zeros(steps, dtype=np.uint32)
+                wids[:original_steps] = arith.slot_wire_ids
+                statics = (
+                    steps,
+                    jnp.asarray(
+                        _col_bytes_np(spec, _pad_col(arith.coefficients, steps))
+                    ),
+                    jnp.asarray(wids),
+                    jnp.asarray(f1_u8),
+                    jnp.asarray(f2_u8),
+                    jnp.asarray(perm_lo),
+                    jnp.asarray(perm_hi),
+                )
+                arith._device_statics = statics
+            _, k_d, wids_d, f1_d, f2_d, plo_d, phi_d = statics
+            traces = stages["wit_traces"](
+                k_d,
+                jnp.asarray(_col_bytes_np(spec, arith.witness_le)),
+                wids_d,
+                f1_d,
+                f2_d,
+                plo_d,
+                phi_d,
+            )
+        else:
+            ksp = np.concatenate(
+                [
+                    _col_bytes_np(spec, _pad_col(arith.coefficients, steps)),
+                    _col_bytes_np(spec, _pad_col(arith.witness_trace, steps)),
+                    _col_bytes_np(spec, _pad_col(arith.computational_trace, steps)),
+                ],
+                axis=0,
+            )
+            plo_d = jnp.asarray(perm_lo)
+            phi_d = jnp.asarray(perm_hi)
+            traces = stages["traces"](
+                jnp.asarray(ksp),
+                jnp.asarray(f1_u8),
+                jnp.asarray(f2_u8),
+                plo_d,
+                phi_d,
+            )
 
     # From here to the final materialization, EVERYTHING is an async device
     # dispatch: every Fiat-Shamir challenge (r, k, positions, FRI special_x
@@ -221,9 +257,7 @@ def enqueue_r1cs_proof(
 
     # --- a-tree root (utils.rs:250-270) + r (utils.rs:272-290) ---
     with phase("a_tree"):
-        a_root_words = stages["a_root"](
-            jnp.asarray(perm_lo)[None], jnp.asarray(perm_hi)[None], traces["s"]
-        )
+        a_root_words = stages["a_root"](plo_d[None], phi_d[None], traces["s"])
         r_mont = stages["r"](a_root_words)
 
     # --- accumulator + 9 LDEs (prove.rs:100-184) ---

@@ -52,11 +52,22 @@ def prove_with_witness(r1cs: R1csContents, witness_bytes: list[bytes]):
     with phase("arithmetize"):
         if _use_native():
             # C++ arithmetizer; numpy columns flow straight to the device
-            flat = native.flat_from_contents(r1cs)
             wit_np = np.zeros((h.n_wires, 32), np.uint8)
             for i, wb in enumerate(witness_bytes):
                 wit_np[i, : len(wb)] = np.frombuffer(wb[:32], np.uint8)
-            arith = _arith_native(spec, flat, wit_np, n_pub)
+            if _device_arith():
+                # everything except the witness is circuit-static: cache the
+                # witness-less arithmetization (and its device uploads) on
+                # the parsed circuit, so repeat proves only move the witness
+                arith = getattr(r1cs, "_dev_arith_cache", None)
+                if arith is None:
+                    flat = native.flat_from_contents(r1cs)
+                    arith = _arith_native(spec, flat, None, n_pub)
+                    r1cs._dev_arith_cache = arith
+                arith.witness_le = wit_np
+            else:
+                flat = native.flat_from_contents(r1cs)
+                arith = _arith_native(spec, flat, wit_np, n_pub)
         else:
             witness = [spec.from_bytes_le(w) for w in witness_bytes]
             arith = arithmetize(
@@ -89,15 +100,29 @@ def prove_many(
     h = r1cs.header
     n_pub = 1 + h.n_public_inputs + h.n_public_outputs
     flat = native.flat_from_contents(r1cs) if _use_native() else None
+    # with device arithmetization everything except the witness is
+    # circuit-static: run the arithmetizer ONCE and swap the witness per
+    # proof (the static device uploads are cached on the arith object)
+    shared_arith = (
+        _arith_native(spec, flat, None, n_pub)
+        if flat is not None and _device_arith()
+        else None
+    )
+
+    def _wit_np(witness_bytes):
+        wit_np = np.zeros((h.n_wires, 32), np.uint8)
+        for i, wb in enumerate(witness_bytes):
+            wit_np[i, : len(wb)] = np.frombuffer(wb[:32], np.uint8)
+        return wit_np
 
     def _arith(witness_bytes):
         public_wires = [spec.from_bytes_le(w) for w in witness_bytes[:n_pub]]
         assert public_wires[0] == 1, "witness[0] must be 1"
+        if shared_arith is not None:
+            shared_arith.witness_le = _wit_np(witness_bytes)
+            return shared_arith, public_wires
         if flat is not None:
-            wit_np = np.zeros((h.n_wires, 32), np.uint8)
-            for i, wb in enumerate(witness_bytes):
-                wit_np[i, : len(wb)] = np.frombuffer(wb[:32], np.uint8)
-            return _arith_native(spec, flat, wit_np, n_pub), public_wires
+            return _arith_native(spec, flat, _wit_np(witness_bytes), n_pub), public_wires
         witness = [spec.from_bytes_le(w) for w in witness_bytes]
         return (
             arithmetize(spec, r1cs.constraints, witness, h.n_wires, n_pub),
@@ -120,17 +145,30 @@ def prove_many(
     return proofs
 
 
+def _device_arith() -> bool:
+    """Derive S/P on device from the witness (gather + gated scan) instead
+    of computing them on host and shipping two full trace columns. Default
+    on; STARK_TPU_DEVICE_ARITH=0 restores the host path."""
+    return os.environ.get("STARK_TPU_DEVICE_ARITH", "1") != "0"
+
+
 def _arith_native(spec, flat, witness_np, n_pub) -> Arithmetization:
     """FlatArithmetization -> the Arithmetization shape the prover consumes,
     with columns left as numpy arrays (the device path converts them
-    vectorized; no python-int round trip)."""
+    vectorized; no python-int round trip). With device arithmetization the
+    host never computes S/P at all: the C++ arithmetizer runs witness-less
+    (K/flags/permutation only) and the prover derives S/P on device from
+    the attached witness + per-slot wire ids."""
+    from stark_tpu.r1cs.arithmetize import slot_wire_ids_np
+
+    dev = _device_arith()
     fa = native.arithmetize_flat(
-        flat, witness_np, spec.p.to_bytes(32, "little"), n_pub
+        flat, None if dev else witness_np, spec.p.to_bytes(32, "little"), n_pub
     )
     n = fa.original_steps
     return Arithmetization(
-        witness_trace=fa.s,
-        computational_trace=fa.p,
+        witness_trace=None if dev else fa.s,
+        computational_trace=None if dev else fa.p,
         coefficients=fa.k,
         flag0=np.ones(n, dtype=np.uint8),
         flag1=fa.flag1,
@@ -138,6 +176,12 @@ def _arith_native(spec, flat, witness_np, n_pub) -> Arithmetization:
         permuted_indices=fa.permuted_indices,
         public_first_indices=fa.public_first_indices,
         last_coeff_list=fa.last_coeff_list,
+        slot_wire_ids=(
+            slot_wire_ids_np(flat.ncoeffs, flat.wire_ids, flat.n_wires)
+            if dev
+            else None
+        ),
+        witness_le=witness_np if dev else None,
     )
 
 
@@ -162,11 +206,25 @@ def prove_with_witness_native(r1cs_bytes: bytes, wtns_bytes: bytes):
 def verify_with_witness(r1cs: R1csContents, public_wires_bytes: list[bytes], proof) -> bool:
     spec = _spec_for(r1cs)
     h = r1cs.header
+    n_pub = 1 + h.n_public_inputs + h.n_public_outputs
     public_wires = [spec.from_bytes_le(w) for w in public_wires_bytes]
     assert public_wires[0] == 1
 
-    # verifier-side re-derivation without the witness (run.rs:482-511)
-    arith = arithmetize(spec, r1cs.constraints, None, h.n_wires, len(public_wires))
+    # verifier-side re-derivation without the witness (run.rs:482-511),
+    # through the C++ arithmetizer when available (numpy columns flow to
+    # the device without a python-int round trip); cached per circuit
+    with phase("v_arithmetize"):
+        if _use_native():
+            arith = getattr(r1cs, "_v_arith_cache", None)
+            if arith is None:
+                flat = native.flat_from_contents(r1cs)
+                arith = _arith_native(spec, flat, None, n_pub)
+                arith.witness_le = None  # verifier never sees the witness
+                r1cs._v_arith_cache = arith
+        else:
+            arith = arithmetize(
+                spec, r1cs.constraints, None, h.n_wires, len(public_wires)
+            )
     return verify_r1cs_proof(
         spec,
         proof,

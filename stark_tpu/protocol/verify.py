@@ -56,12 +56,22 @@ def verify_r1cs_proof(
     params = derive_params(spec, original_steps)
     steps, precision, skips = params.steps, params.precision, params.skips
 
-    permuted = list(permuted_indices) + list(range(original_steps, steps))
-    pad = steps - original_steps
-    coeffs = list(coefficients) + [0] * pad
-    f0 = list(flag0) + [0] * pad
-    f1 = list(flag1) + [0] * pad
-    f2 = list(flag2) + [0] * pad
+    from stark_tpu.protocol.prove import _col_bytes_np, _pad_col, _stages_cached
+
+    # columns may be python-int lists (the pure-python arithmetizer) or
+    # numpy arrays (the native witness-less arithmetizer, run.rs:21-107)
+    if isinstance(permuted_indices, np.ndarray):
+        permuted = np.concatenate(
+            [
+                permuted_indices.astype(np.uint64),
+                np.arange(original_steps, steps, dtype=np.uint64),
+            ]
+        )
+    else:
+        permuted = list(permuted_indices) + list(range(original_steps, steps))
+    coeffs = _pad_col(coefficients, steps)
+    f1 = _pad_col(flag1, steps)
+    f2 = _pad_col(flag2, steps)
 
     # FRI first (verify.rs:82-85)
     with phase("v_fri"):
@@ -85,8 +95,6 @@ def verify_r1cs_proof(
     # All 6 columns go through ONE transfer + ONE to-Montgomery + one
     # lde_many + ONE gather dispatch (reusing the prover's compiled stages;
     # eager per-column chains cost a tunnel round trip per op).
-    from stark_tpu.protocol.prove import _col_bytes_np, _stages_cached
-
     with phase("v_lde"):
         stages = _stages_cached(spec, steps, precision, original_steps)
         perm_np = np.asarray(permuted, dtype=np.uint64)

@@ -81,7 +81,7 @@ def _layer_avals(n: int):
 
 def warmup_targets(
     spec: FieldSpec, steps: int, precision: int, original_steps: int,
-    n_pub: int = 1,
+    n_pub: int = 1, n_wires: int = 0,
 ):
     from stark_tpu.merkle.tree import _gather_flat_j
     from stark_tpu.protocol.prove import _stages_cached
@@ -90,7 +90,7 @@ def warmup_targets(
     skips = precision // steps
     S = lambda sh, dt=jnp.uint32: jax.ShapeDtypeStruct(sh, dt)
     n_pos = SPOT_CHECK_SECURITY_FACTOR
-    targets = list(stages["warm_targets"](n_pub))
+    targets = list(stages["warm_targets"](n_pub, n_wires))
     # spot-check branch gathers: m-tree (256-byte leaves -> 64 words,
     # 4 companions per position) and l-tree (32-byte leaves -> 16 words)
     targets.append(
@@ -107,13 +107,15 @@ def warmup_targets(
 
 def warmup_prover(
     spec: FieldSpec, steps: int, precision: int, original_steps: int,
-    n_pub: int = 1, threads: int | None = None,
+    n_pub: int = 1, threads: int | None = None, n_wires: int = 0,
 ) -> int:
     """Compile every prove-time executable for this circuit size in
     parallel. Returns the number of compiled targets. Idempotent and safe
     to race with a concurrent prove (jit compile caches are internally
     locked)."""
-    targets = warmup_targets(spec, steps, precision, original_steps, n_pub)
+    targets = warmup_targets(
+        spec, steps, precision, original_steps, n_pub, n_wires
+    )
     if threads is None:
         # remote/XLA compiles are IO/out-of-process-bound, NOT host-CPU
         # bound -- do not tie this to os.cpu_count() (single-vCPU TPU
@@ -132,12 +134,16 @@ def warmup_prover(
 _warmed: set = set()
 
 
-def maybe_warmup(spec, steps, precision, original_steps, n_pub) -> None:
+def maybe_warmup(
+    spec, steps, precision, original_steps, n_pub, n_wires: int = 0
+) -> None:
     """Opt-in auto-warmup hook for the prover (STARK_TPU_WARMUP=1)."""
     if os.environ.get("STARK_TPU_WARMUP", "0") == "0":
         return
-    key = (spec, steps, precision, original_steps, n_pub)
+    key = (spec, steps, precision, original_steps, n_pub, n_wires)
     if key in _warmed:
         return
     _warmed.add(key)
-    warmup_prover(spec, steps, precision, original_steps, n_pub)
+    warmup_prover(
+        spec, steps, precision, original_steps, n_pub, n_wires=n_wires
+    )

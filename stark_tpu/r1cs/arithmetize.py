@@ -23,7 +23,9 @@ Faithful re-derivation of the reference's trace construction
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+
+import numpy as np
 
 from stark_tpu.fields.field import FieldSpec
 from stark_tpu.r1cs.reader import Constraint
@@ -40,10 +42,48 @@ class Arithmetization:
     permuted_indices: list[int]
     public_first_indices: list[tuple[int, int]]
     last_coeff_list: list[int]
+    # Device-arithmetization extension (no reference counterpart): when set,
+    # the prover derives S on device as witness[slot_wire_ids] and P as a
+    # gated segmented scan, so only the witness crosses host->device per
+    # proof instead of two full trace columns (S, P may then be None).
+    slot_wire_ids: np.ndarray | None = field(default=None, repr=False)
+    witness_le: np.ndarray | None = field(default=None, repr=False)  # (n_wires, 32) u8
 
     @property
     def original_steps(self) -> int:
         return len(self.coefficients)
+
+
+def slot_wire_ids_np(
+    ncoeffs: np.ndarray, wire_ids: np.ndarray, n_wires: int
+) -> np.ndarray:
+    """Per-trace-slot wire id, [A-segment || B-segment || C-segment] layout
+    (the wire each slot of S reads, run.rs:150-158; pad slots use wire
+    n_wires-1 like the reference's run.rs:166-171).
+
+    ncoeffs: (n_constraints, 3) coefficient counts; wire_ids: flat in
+    (constraint, region, coeff) order -- the native parser's layout."""
+    ncoeffs = np.asarray(ncoeffs, dtype=np.int64).reshape(-1, 3)
+    wire_ids = np.asarray(wire_ids, dtype=np.uint32)
+    n_con = ncoeffs.shape[0]
+    n_coeff = ncoeffs.max(axis=1)  # per-constraint padded width (run.rs:140)
+    a_len = int(n_coeff.sum())
+    prefix = np.zeros(3 * n_con + 1, dtype=np.int64)
+    np.cumsum(ncoeffs.reshape(-1), out=prefix[1:])
+    prefix = prefix[:-1].reshape(n_con, 3)
+    ci = np.repeat(np.arange(n_con), n_coeff)  # constraint id per slot
+    starts = np.zeros(n_con, dtype=np.int64)
+    np.cumsum(n_coeff[:-1], out=starts[1:])
+    i_within = np.arange(a_len, dtype=np.int64) - np.repeat(starts, n_coeff)
+    out = np.empty(3 * a_len, dtype=np.uint32)
+    for r in range(3):
+        n_r = ncoeffs[ci, r]
+        valid = i_within < n_r
+        gidx = prefix[ci, r] + np.minimum(i_within, np.maximum(n_r - 1, 0))
+        out[r * a_len : (r + 1) * a_len] = np.where(
+            valid, wire_ids[gidx] if len(wire_ids) else 0, n_wires - 1
+        )
+    return out
 
 
 def calc_coefficients_and_witness(

@@ -8,6 +8,17 @@ replacement: nested named phases collected into a report, opt-in via env:
 
   STARK_TPU_TRACE=1          print a phase report at the end of each top span
   STARK_TPU_PROFILE=<dir>    wrap top-level spans in jax.profiler.trace(dir)
+  STARK_TPU_SYNC_PHASES=1    enqueue-and-block a dummy device op at every
+                             phase exit. JAX dispatch is async, so without
+                             this the report attributes almost all device
+                             time to whichever phase blocks first (usually
+                             `materialize`). TPU executes one compute
+                             stream in launch order, so the dummy op
+                             completes only after the phase's real work --
+                             an effective per-phase barrier. Diagnostic
+                             only: the barriers defeat cross-phase
+                             pipelining, so totals are a little worse than
+                             production.
 
 Usage::
 
@@ -70,11 +81,22 @@ def phase(name: str, sync=None):
             import jax
 
             jax.block_until_ready(sync)
+        elif os.environ.get("STARK_TPU_SYNC_PHASES", "") not in ("", "0"):
+            _device_barrier()
         node.elapsed += time.perf_counter() - t0
         node.calls += 1
         _stack.pop()
         if top and enabled():
             print(report(node))
+
+
+def _device_barrier():
+    """Block until all device work enqueued so far completes (see the
+    STARK_TPU_SYNC_PHASES doc above for why this works on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.block_until_ready(jnp.zeros((), jnp.uint32) + jnp.uint32(1))
 
 
 def sync_point(value):
