@@ -225,6 +225,24 @@ def verify_with_witness(r1cs: R1csContents, public_wires_bytes: list[bytes], pro
             arith = arithmetize(
                 spec, r1cs.constraints, None, h.n_wires, len(public_wires)
             )
+
+    # keep the circuit-static column LDEs resident for repeat verifies of
+    # one circuit when they fit comfortably (6*L*4*precision bytes; ~400 MB
+    # at domain 2^20). STARK_TPU_VERIFY_CACHE=0/1 overrides the size gate.
+    from stark_tpu.protocol.params import derive_params as _dp
+
+    cache_env = os.environ.get("STARK_TPU_VERIFY_CACHE", "auto")
+    precision = _dp(spec, arith.original_steps).precision
+    want_cache = (
+        cache_env == "1"
+        or (cache_env == "auto" and 6 * spec.num_limbs * 4 * precision <= 512 << 20)
+    )
+    ev_cache = None
+    if want_cache:
+        ev_cache = getattr(r1cs, "_v_ev_cache", None)
+        if ev_cache is None:
+            ev_cache = {}
+            r1cs._v_ev_cache = ev_cache
     return verify_r1cs_proof(
         spec,
         proof,
@@ -237,6 +255,7 @@ def verify_with_witness(r1cs: R1csContents, public_wires_bytes: list[bytes], pro
         arith.flag2,
         h.n_constraints,
         h.n_wires,
+        ev_cache=ev_cache,
     )
 
 

@@ -49,7 +49,12 @@ def verify_r1cs_proof(
     flag2: list[int],
     n_constraints: int,
     n_wires: int,
+    ev_cache: dict | None = None,
 ) -> bool:
+    """ev_cache: optional per-circuit dict; the 6 public-column LDEs are
+    circuit-static (K/F0/F1/F2/idx/perm never depend on the proof), so a
+    verification service can pass the same dict across proofs and pay the
+    v_lde device work once (6*L*4*precision bytes of HBM stay resident)."""
     p = spec.p
     original_steps = len(coefficients)
     assert original_steps <= 3 * n_constraints * n_wires
@@ -97,15 +102,19 @@ def verify_r1cs_proof(
     # eager per-column chains cost a tunnel round trip per op).
     with phase("v_lde"):
         stages = _stages_cached(spec, steps, precision, original_steps)
-        perm_np = np.asarray(permuted, dtype=np.uint64)
-        smalls = stages["v_cols"](
-            jnp.asarray(_col_bytes_np(spec, coeffs)),
-            jnp.asarray(np.asarray(f1, dtype=np.uint8)),
-            jnp.asarray(np.asarray(f2, dtype=np.uint8)),
-            jnp.asarray((perm_np & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-            jnp.asarray((perm_np >> np.uint64(32)).astype(np.uint32)),
-        )
-        evs = stages["lde_many"](smalls)
+        evs = ev_cache.get("evs") if ev_cache is not None else None
+        if evs is None:
+            perm_np = np.asarray(permuted, dtype=np.uint64)
+            smalls = stages["v_cols"](
+                jnp.asarray(_col_bytes_np(spec, coeffs)),
+                jnp.asarray(np.asarray(f1, dtype=np.uint8)),
+                jnp.asarray(np.asarray(f2, dtype=np.uint8)),
+                jnp.asarray((perm_np & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                jnp.asarray((perm_np >> np.uint64(32)).astype(np.uint32)),
+            )
+            evs = stages["lde_many"](smalls)
+            if ev_cache is not None:
+                ev_cache["evs"] = evs
         pos_arr = jnp.asarray(np.asarray(positions, dtype=np.int64))
         gathered = np.asarray(_gather_j(spec)(evs, pos_arr))  # (6, L, n_pos)
         k_at, f0_at, f1_at, f2_at, idx_at, perm_at = (
