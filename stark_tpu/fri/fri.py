@@ -110,30 +110,66 @@ def _commit_tree(spec: FieldSpec, values_mont) -> mt.DeviceMerkleTree:
 def _fold_j(spec: FieldSpec, values, xs, sx):
     """One dispatch: the whole 4x quartic fold at special_x.
 
-    Path chosen at trace time: fused Pallas pre/post kernels for big
-    rounds on TPU, batched XLA quartic interpolation otherwise (identical
-    values; asserted equal on device by tests/test_pallas_protocol.py)."""
-    from stark_tpu.protocol.kernels import _pk
+    The row points are a coset of the 4th roots of unity -- x_j = x*I^j
+    with I = g^(n/4) (fri.rs:141-152) -- so the degree-3 interpolation is
+    an exact radix-4 inverse DFT instead of general Lagrange:
+
+        p(sx) = (1/4) * sum_k u_k t^k,  u_k = sum_j v_j I^(-jk),
+        t = sx * x^(-1)
+
+    where the u_k butterfly costs one constant mul (I) + 8 add/subs and
+    x^(-1) is a REVERSAL-GATHER of the round's own power table
+    (x_i^(-1) = g^(n-i) = xs[(n-i) mod n]) -- no batch inversion, no
+    prefix scan. ~6 modmuls/row vs ~30 + a multi_inv for the Lagrange
+    route. Identical field values by algebra; asserted equal to
+    multi_interp_4 by tests (STARK_TPU_FRI_LAGRANGE=1 restores the old
+    path for A/B)."""
+    import os
 
     n = values.shape[1]
     quarter = n // 4
     L = values.shape[0]
-    if _pk(quarter) and quarter >= (1 << 14):
-        from stark_tpu.protocol import pallas_kernels as pkm
+    if os.environ.get("STARK_TPU_FRI_LAGRANGE", "0") == "1":
+        from stark_tpu.protocol.kernels import _pk
 
-        xs4 = xs.reshape(L, 4, quarter)
-        ys4 = values.reshape(L, 4, quarter)
-        eqs, dens = pkm.fri_fold_pre(spec, xs4)
-        invs = mm.multi_inv(spec, dens.reshape(L, 4 * quarter)).reshape(
-            L, 4, quarter
+        if _pk(quarter) and quarter >= (1 << 14):
+            from stark_tpu.protocol import pallas_kernels as pkm
+
+            xs4 = xs.reshape(L, 4, quarter)
+            ys4 = values.reshape(L, 4, quarter)
+            eqs, dens = pkm.fri_fold_pre(spec, xs4)
+            invs = mm.multi_inv(spec, dens.reshape(L, 4 * quarter)).reshape(
+                L, 4, quarter
+            )
+            return pkm.fri_fold_post(spec, sx[:, :, 0], eqs, ys4, invs)
+        xsets = _fold_xsets(xs, quarter)
+        ysets = _fold_xsets(values, quarter)
+        polys = quartic.multi_interp_4(spec, xsets, ysets)
+        return quartic.eval_quartic_batch(
+            spec, polys, jnp.broadcast_to(sx[:, :, 0], (L, quarter))
         )
-        return pkm.fri_fold_post(spec, sx[:, :, 0], eqs, ys4, invs)
-    xsets = _fold_xsets(xs, quarter)
-    ysets = _fold_xsets(values, quarter)
-    polys = quartic.multi_interp_4(spec, xsets, ysets)
-    return quartic.eval_quartic_batch(
-        spec, polys, jnp.broadcast_to(sx[:, :, 0], (L, quarter))
+
+    ys4 = values.reshape(L, 4, quarter)
+    v0, v1, v2, v3 = (ys4[:, j] for j in range(4))
+    i_root = xs[:, quarter][:, None]  # I = g^(n/4), the round's 4th root
+    a = mm.madd(spec, v0, v2)
+    b = mm.madd(spec, v1, v3)
+    c = mm.msub(spec, v0, v2)
+    e = mm.mmul(spec, jnp.broadcast_to(i_root, c.shape), mm.msub(spec, v3, v1))
+    u0 = mm.madd(spec, a, b)
+    u2 = mm.msub(spec, a, b)
+    u1 = mm.madd(spec, c, e)
+    u3 = mm.msub(spec, c, e)
+    # x_i^(-1) for i < quarter: xs[0]=1 self-inverse, else xs[n-i]
+    xinv = jnp.concatenate(
+        [xs[:, :1], xs[:, : n - quarter : -1]], axis=1
     )
+    t = mm.mmul(spec, jnp.broadcast_to(sx[:, :, 0], (L, quarter)), xinv)
+    acc = mm.madd(spec, mm.mmul(spec, u3, t), u2)
+    acc = mm.madd(spec, mm.mmul(spec, acc, t), u1)
+    acc = mm.madd(spec, mm.mmul(spec, acc, t), u0)
+    inv4 = mm.mont_const(spec, pow(4, spec.p - 2, spec.p))
+    return mm.mmul(spec, jnp.broadcast_to(inv4, acc.shape), acc)
 
 
 def prove_low_degree(

@@ -62,3 +62,23 @@ def test_fri_rejects_tampered_proof():
     proof[0].column_branches[0] = mt.MerkleProof(bad_leaf, tampered.nodes)
     with pytest.raises(ValueError):
         fri.verify_low_degree_proof(spec, root, w, proof, max_deg_plus_1, 0)
+
+
+def test_fold_dft_matches_lagrange(monkeypatch):
+    """The radix-4 IDFT fold (coset structure, no inversion) must produce
+    the exact field values of the general Lagrange route (fri.rs:141-164
+    semantics via quartic.multi_interp_4)."""
+    import numpy as np
+
+    n = 512
+    evals, w = _poly_evals(n, n // 4, seed=3)
+    xs = mm.power_table(spec, w, n)
+    sx = mm.mont_consts(spec, [123456789])[:, :, None]
+    monkeypatch.setenv("STARK_TPU_FRI_LAGRANGE", "1")
+    old = np.asarray(fri._fold_j(spec, evals, xs, sx))
+    monkeypatch.setenv("STARK_TPU_FRI_LAGRANGE", "0")
+    # env is read at TRACE time; clear the jit cache so both paths trace
+    fri._fold_j.clear_cache()
+    new = np.asarray(fri._fold_j(spec, evals, xs, sx))
+    fri._fold_j.clear_cache()
+    assert (old == new).all()
