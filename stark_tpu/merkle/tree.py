@@ -129,6 +129,16 @@ class DeviceMerkleTree:
         self.leaf_bytes = leaf_bytes
         self.layers = layers  # device (8, n_i) digest words, n_i halving
         self._root = None
+        self._W = int(leaf_words.shape[0])
+
+    def release_device(self):
+        """Drop the device arrays once every gather against this tree has
+        been DISPATCHED (pending executions hold their own references, so
+        the buffers free as soon as those gathers run -- at precision 2^23
+        the m-tree words alone are 2.1 GB). `_proofs_from_flat` keeps
+        working: it only needs leaf_bytes and the leaf word count."""
+        self.leaf_words = None
+        self.layers = None
 
     @property
     def width(self) -> int:
@@ -156,7 +166,7 @@ class DeviceMerkleTree:
         return _gather_flat_j(self.leaf_words, tuple(self.layers[:-1]), idx)
 
     def _proofs_from_flat(self, flat: np.ndarray, k: int) -> list[MerkleProof]:
-        W = self.leaf_words.shape[0]
+        W = self._W
         depth = (flat.shape[0] - W) // 8
         leaf_cols = flat[:W]
         proofs = []

@@ -10,6 +10,8 @@ and the throughput benchmark; the orchestrated prover in
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -401,7 +403,14 @@ def build_proof_stages(
     # transport's body limit (HTTP 413)
     dom = (inv_z_full, x2s_full, xs_full, inv_zb3)
 
-    @jax.jit
+    # donate evs + a_ev: the 6 single-use LDE columns (k/f0/f1/f2/idx/perm)
+    # are never read again and their buffers are exactly the shape of the
+    # 5 new outputs (d1/d2/d3/b2/b3) -- aliasing them halves this stage's
+    # execution-time HBM peak (the 2^23 OOM point); s/p/a pass through.
+    # CPU jit ignores donation (and warns), so only donate on accelerators.
+    _donate = jax.default_backend() != "cpu"
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if _donate else ())
     def rest_a_j(evs, a_ev, r_mont, i2_mont, pubx_mont, dom):
         inv_z_full, x2s_full, xs_full, inv_zb3 = dom
         q1 = kernels.q1_eval(
@@ -442,7 +451,10 @@ def build_proof_stages(
         words = _words_best(spec, [cols[n] for n in _COLS])
         return words, mt._build_layers(words, 256)
 
-    @jax.jit
+    # linc is the LAST consumer of the 8 m-tree columns (m_commit executes
+    # before it on the stream); donating them frees ~4.3 GB at 2^23 as
+    # soon as L is computed instead of at python del time
+    @functools.partial(jax.jit, donate_argnums=(1,) if _donate else ())
     def linc_base_j(k_mont, cols, x2s_full):
         return kernels.linear_combination(
             spec, k_mont, x2s_full, *[cols[n] for n in _COLS]

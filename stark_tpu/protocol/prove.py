@@ -281,6 +281,9 @@ def enqueue_r1cs_proof(
             mm.mont_consts(spec, interpolant2),
             mm.mont_consts(spec, pub_xs),
         )
+        # free the single-use LDE columns (k/f0/f1/f2/idx/perm never appear
+        # again; ~3.2 GB at precision 2^23 -- keeping them OOMs the commit)
+        del outs, evs, a_ev
 
     # --- m-tree (prove.rs:235-264) -> k (prove.rs:274-283) -> L -> l-tree ---
     with phase("commits"):
@@ -292,6 +295,7 @@ def enqueue_r1cs_proof(
         l_words, l_layers = stages["l_commit"](l_ev)
         l_tree = mt.DeviceMerkleTree(l_words, 32, list(l_layers))
         l_root_w = l_layers[-1][:, 0]
+        del cols  # the m-tree leaves/layers carry everything from here
 
     # --- spot checks (prove.rs:337-362) with device-derived positions ---
     with phase("branches"):
@@ -304,6 +308,12 @@ def enqueue_r1cs_proof(
         pending = fri.prove_low_degree_pending(
             spec, l_ev, xs_full, precision // 4, skips, first_tree=l_tree
         )
+
+    # every gather against these trees is dispatched above; dropping the
+    # device arrays lets the runtime free ~4 GB (at 2^23) as soon as the
+    # queued gathers execute, instead of at materialize time
+    m_tree.release_device()
+    l_tree.release_device()
 
     return {
         "pending": pending,

@@ -138,3 +138,26 @@ def test_mk_seed_and_random_ff_values():
     assert all(0 <= v < BN254_FR.p for v in vals)
     # deterministic
     assert vals == ts.get_random_ff_values(BN254_FR, ts.blake(b"x"), 1 << 20, 3, 0)
+
+
+def test_device_tree_release_after_gather():
+    """release_device drops the device arrays after branch gathers are
+    dispatched; proof formatting from the gathered flat must still work
+    and validate (the 2^23 prover relies on this to fit HBM)."""
+    import numpy as np
+    import random as _r
+
+    rng = _r.Random(7)
+    leaves = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(64)]
+    arr = np.frombuffer(b"".join(leaves), np.uint8).reshape(64, 32)
+    words = np.zeros((16, 64), np.uint32)
+    words[:8] = arr.view("<u4").T
+    tree = mt.commit_words_jit(words, 32)
+    root = tree.root
+    indices = [3, 9, 41]
+    flat = np.asarray(tree._gather_device(indices)).astype("<u4")
+    tree.release_device()
+    proofs = tree._proofs_from_flat(flat, len(indices))
+    for idx, proof in zip(indices, proofs):
+        assert proof.leaf == leaves[idx]
+    mt.verify_multi_branch(root, indices, proofs)
