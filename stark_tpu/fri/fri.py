@@ -48,12 +48,12 @@ def _canonical_bytes(spec: FieldSpec, values_mont) -> np.ndarray:
     return mm.limbs_to_bytes_le_np(np.asarray(mm.from_mont(spec, values_mont)), spec)
 
 
-def _value_words(spec: FieldSpec, values_mont):
+def _value_words(spec: FieldSpec, values_mont, policy=None):
     """Montgomery (L, n) -> (16, n) device words of the canonical 32-byte
     little-endian encodings (zero block padding), all on device."""
     from stark_tpu.protocol.core import _words_best
 
-    return _words_best(spec, [values_mont])
+    return _words_best(spec, [values_mont], policy)
 
 
 def _fold_xsets(arr, quarter: int):
@@ -62,11 +62,11 @@ def _fold_xsets(arr, quarter: int):
     return jnp.moveaxis(arr.reshape(L, 4, quarter), 1, 2)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _commit_j(spec: FieldSpec, values_mont):
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _commit_j(spec: FieldSpec, values_mont, policy=None):
     """One dispatch: canonical leaf words + every tree layer."""
-    words = _value_words(spec, values_mont)
-    return words, mt._build_layers(words, 32)
+    words = _value_words(spec, values_mont, policy)
+    return words, mt._build_layers(words, 32, policy)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -101,13 +101,13 @@ def materialize_u32(arrs):
     return out
 
 
-def _commit_tree(spec: FieldSpec, values_mont) -> mt.DeviceMerkleTree:
-    words, layers = _commit_j(spec, values_mont)
+def _commit_tree(spec: FieldSpec, values_mont, policy=None) -> mt.DeviceMerkleTree:
+    words, layers = _commit_j(spec, values_mont, policy)
     return mt.DeviceMerkleTree(words, 32, list(layers))
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _fold_j(spec: FieldSpec, values, xs, sx):
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _fold_j(spec: FieldSpec, values, xs, sx, policy=None):
     """One dispatch: the whole 4x quartic fold at special_x.
 
     The row points are a coset of the 4th roots of unity -- x_j = x*I^j
@@ -132,7 +132,7 @@ def _fold_j(spec: FieldSpec, values, xs, sx):
     if os.environ.get("STARK_TPU_FRI_LAGRANGE", "0") == "1":
         from stark_tpu.protocol.kernels import _pk
 
-        if _pk(quarter) and quarter >= (1 << 14):
+        if _pk(quarter, policy) and quarter >= (1 << 14):
             from stark_tpu.protocol import pallas_kernels as pkm
 
             xs4 = xs.reshape(L, 4, quarter)
@@ -180,6 +180,7 @@ def prove_low_degree(
     exclude_multiples_of: int = 0,
     deg_direct_checking: int = MIN_DEG_DIRECT_CHECKING,
     first_tree: mt.DeviceMerkleTree | None = None,
+    policy=None,
 ):
     """Prove the (L, N) Montgomery evaluations have degree < max_deg_plus_1.
 
@@ -205,6 +206,7 @@ def prove_low_degree(
         exclude_multiples_of,
         deg_direct_checking,
         first_tree,
+        policy,
     )
     flats = materialize_u32(pending["device_arrays"])
     return assemble_fri(spec, pending, flats)
@@ -218,6 +220,7 @@ def prove_low_degree_pending(
     exclude_multiples_of: int = 0,
     deg_direct_checking: int = MIN_DEG_DIRECT_CHECKING,
     first_tree: mt.DeviceMerkleTree | None = None,
+    policy=None,
 ):
     """Fully-async FRI: every challenge (special_x, query indices) is
     derived ON DEVICE (`protocol/device_transcript`), so the whole
@@ -231,7 +234,7 @@ def prove_low_degree_pending(
     while True:
         n = values.shape[1]
         if max_deg_plus_1 <= deg_direct_checking:
-            last_words = _value_words(spec, values)[:8]  # (8, n) canonical
+            last_words = _value_words(spec, values, policy)[:8]  # (8, n)
             break
 
         # this round's value tree: round 0 can reuse the caller's l_tree,
@@ -241,15 +244,15 @@ def prove_low_degree_pending(
             m_tree = first_tree
             first_tree = None
         else:
-            words, layers = _commit_j(spec, values)
+            words, layers = _commit_j(spec, values, policy)
             m_tree = mt.DeviceMerkleTree(words, 32, list(layers))
         val_root_w = m_tree.layers[-1][:, 0]
         sx = _sx_j(spec, val_root_w)
 
         quarter = n // 4
-        column = _fold_j(spec, values, xs, sx)
+        column = _fold_j(spec, values, xs, sx, policy)
 
-        c_words, c_layers = _commit_j(spec, column)
+        c_words, c_layers = _commit_j(spec, column, policy)
         m2_tree = mt.DeviceMerkleTree(c_words, 32, list(c_layers))
         root2_w = c_layers[-1][:, 0]
         ys, poly_positions = _ys_j(root2_w, quarter, exclude_multiples_of)

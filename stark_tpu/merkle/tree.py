@@ -214,14 +214,14 @@ def gen_proofs_many(requests) -> list[list[MerkleProof]]:
     return out
 
 
-def _build_layers(leaf_words, leaf_bytes: int):
-    h = b2.blake2s_words_best(leaf_words, leaf_bytes)  # (8, N)
+def _build_layers(leaf_words, leaf_bytes: int, policy=None):
+    h = b2.blake2s_words_best(leaf_words, leaf_bytes, policy)  # (8, N)
     layers = [h]
     while h.shape[1] > 1:
         m = h.shape[1] // 2
         pair = h.reshape(8, m, 2)
         msg = jnp.concatenate([pair[:, :, 0], pair[:, :, 1]], axis=0)
-        h = b2.blake2s_words_best(msg, 64)
+        h = b2.blake2s_words_best(msg, 64, policy)
         layers.append(h)
     return tuple(layers)
 

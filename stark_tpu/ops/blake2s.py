@@ -138,11 +138,17 @@ def bytes_to_words_np(data: np.ndarray, msg_len: int) -> np.ndarray:
     return np.ascontiguousarray(buf.view("<u4").T)
 
 
-def blake2s_words_best(msgs, msg_len: int):
+def blake2s_words_best(msgs, msg_len: int, policy=None):
     """Dispatch to the Pallas kernel on TPU (STARK_TPU_PALLAS=1 forces, =0
-    disables), the XLA kernel otherwise. Identical semantics."""
+    disables), the XLA kernel otherwise. Identical semantics.
+
+    policy='xla' deterministically forces the XLA kernel at trace time
+    (the mesh prover's global sharded stages: GSPMD cannot partition a
+    Pallas custom call); None keeps env/auto."""
     import os
 
+    if policy == "xla":
+        return blake2s_words(msgs, msg_len)
     v = os.environ.get("STARK_TPU_PALLAS", "auto")
     use = v != "0" and (v in ("1", "force") or jax.default_backend() == "tpu")
     if use:

@@ -30,14 +30,14 @@ from stark_tpu.parallel.prove_sharded import _leaves_to_words
 _MXU_FUSE_MAX_PRECISION = 1 << 20
 
 
-def merkle_root_local(leaf_words, leaf_bytes: int):
+def merkle_root_local(leaf_words, leaf_bytes: int, policy=None):
     """(W, N) leaf words -> (8,) root digest words, all on device."""
-    h = b2.blake2s_words_best(leaf_words, leaf_bytes)
+    h = b2.blake2s_words_best(leaf_words, leaf_bytes, policy)
     while h.shape[1] > 1:
         m = h.shape[1] // 2
         pair = h.reshape(8, m, 2)
         msg = jnp.concatenate([pair[:, :, 0], pair[:, :, 1]], axis=0)
-        h = b2.blake2s_words_best(msg, 64)
+        h = b2.blake2s_words_best(msg, 64, policy)
     return h[:, 0]
 
 
@@ -240,7 +240,7 @@ def build_staged_prover(
 
 
 def build_proof_stages(
-    spec: FieldSpec, steps: int, precision: int, original_steps: int
+    spec: FieldSpec, steps: int, precision: int, original_steps: int, mesh=None
 ):
     """Staged jits for the REAL (transcript-driven) prover.
 
@@ -249,8 +249,29 @@ def build_proof_stages(
     side in ~8 dispatches instead of eager op-at-a-time chains (each eager
     sync is a tunnel round trip on the remote-TPU transport; the orches-
     trated prover previously spent ~25 s of its 28 s warm wall there).
+
+    `mesh`: an optional 1-D `jax.sharding.Mesh` ("d" axis). ONE prover
+    serves every geometry (the reference's crossbeam `Worker` axis,
+    `fft.rs:195-251`, generalized to a device mesh):
+
+    * mesh=None / 1 device: the fused single-chip engine (CRT/MXU LDEs,
+      Pallas kernels) -- at d=1 the four-step factorization is the
+      identity decomposition, so the fused local kernel IS the sharded
+      kernel's degenerate case;
+    * d>1: the `columns` stage runs the four-step NTT + quotient body
+      under shard_map (per-device Pallas on real TPU meshes), every
+      downstream stage (commits, linear combination, FRI, branch gathers)
+      runs the SAME jnp code on the global sharded arrays with the pure-
+      XLA kernel policy (GSPMD cannot partition Pallas custom calls), and
+      the device transcript + single-materialization orchestration in
+      :mod:`stark_tpu.protocol.prove` is shared verbatim.
     """
     from stark_tpu.merkle import tree as mt
+
+    # kernel policy for the GLOBAL (non-shard_map) stages: pure XLA when
+    # the arrays are sharded over >1 devices, env/auto otherwise
+    n_mesh_devices = 0 if mesh is None else int(mesh.devices.size)
+    gx = "xla" if n_mesh_devices > 1 else None
 
     p = spec.p
     skips = precision // steps
@@ -270,7 +291,7 @@ def build_proof_stages(
     zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape))
     inv_zb3 = mm.multi_inv(spec, zb3)
 
-    use_mxu = nttm.use_mxu_lde(steps, precision)
+    use_mxu = (not gx) and nttm.use_mxu_lde(steps, precision)
     if use_mxu:
         from stark_tpu.ops import mxu_ntt
 
@@ -283,10 +304,12 @@ def build_proof_stages(
             ]
         else:
             lde_many = lambda ts: lde_many_base(ts, inv_plan, big_plan)
-    else:
+    elif not gx:
         lde_plan = nttm.make_lde_plan(spec, g1, g2, steps, precision)
         lde_base = jax.jit(lambda t, pl: nttm.lde(spec, t, pl))
         lde_many = lambda ts: [lde_base(t, lde_plan) for t in ts]
+    else:
+        lde_many = None  # d>1: LDEs live inside the shard_map columns step
 
     to_mont_j = jax.jit(lambda raw: mm.to_mont(spec, raw))
 
@@ -384,13 +407,13 @@ def build_proof_stages(
     def a_root_j(perm_lo, perm_hi, s_small):
         # 40-byte (perm u64 LE || S) leaves, root only (utils.rs:250-270;
         # the reference commits with gen_proofs(&[]) -- no branches)
-        s_words = _words_best(spec, [s_small])[:8]
+        s_words = _words_best(spec, [s_small], gx)[:8]
         a_words = jnp.concatenate(
             [perm_lo, perm_hi, s_words,
              jnp.zeros((6, s_words.shape[1]), jnp.uint32)],
             axis=0,
         )
-        return merkle_root_local(a_words, 40)
+        return merkle_root_local(a_words, 40, gx)
 
     @jax.jit
     def acc_j(idx_small, perm_small, s_small, r_mont):
@@ -448,8 +471,8 @@ def build_proof_stages(
 
     @jax.jit
     def m_commit_j(cols):
-        words = _words_best(spec, [cols[n] for n in _COLS])
-        return words, mt._build_layers(words, 256)
+        words = _words_best(spec, [cols[n] for n in _COLS], gx)
+        return words, mt._build_layers(words, 256, gx)
 
     # linc is the LAST consumer of the 8 m-tree columns (m_commit executes
     # before it on the stream); donating them frees ~4.3 GB at 2^23 as
@@ -457,7 +480,7 @@ def build_proof_stages(
     @functools.partial(jax.jit, donate_argnums=(1,) if _donate else ())
     def linc_base_j(k_mont, cols, x2s_full):
         return kernels.linear_combination(
-            spec, k_mont, x2s_full, *[cols[n] for n in _COLS]
+            spec, k_mont, x2s_full, *[cols[n] for n in _COLS], policy=gx
         )
 
     def linc_j(k_mont, cols):
@@ -465,8 +488,8 @@ def build_proof_stages(
 
     @jax.jit
     def l_commit_j(l_ev):
-        words = _words_best(spec, [l_ev])
-        return words, mt._build_layers(words, 32)
+        words = _words_best(spec, [l_ev], gx)
+        return words, mt._build_layers(words, 32, gx)
 
     from stark_tpu.protocol import device_transcript as dt
 
@@ -540,9 +563,59 @@ def build_proof_stages(
             else:
                 t.append((lde_many_base, ([col] * 9, inv_plan, big_plan)))
                 t.append((lde_many_base, ([col] * 6, inv_plan, big_plan)))
-        else:
+        elif not gx:
             t.append((lde_base, (col, lde_plan)))
         return t
+
+    # --- the unified `columns` stage: traces -> (8 m-tree columns, q_bad).
+    # Single mesh-independent interface for the whole middle of the prover
+    # (9 LDEs + accumulator + quotients + boundaries); the two bodies
+    # compute identical field values (asserted byte-identical by
+    # tests/test_parallel_full.py and the driver's dryrun_multichip).
+    _TRACE8 = ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")
+
+    if gx:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from stark_tpu.parallel import prove_sharded as psh
+
+        shard = NamedSharding(mesh, P(None, "d"))
+        repl = NamedSharding(mesh, P(None, None))
+        xs_full = jax.device_put(xs_full, shard)
+        sharded_cols = psh.build_sharded_columns_step(
+            spec, mesh, steps, precision, original_steps
+        )
+
+        def columns(traces, r_mont, i2_mont, pubx_mont):
+            return sharded_cols(traces, xs_full, r_mont, i2_mont, pubx_mont)
+
+        def put_rows(x):
+            """Host (N, ...) arrays sharded contiguously on the row axis."""
+            nd = getattr(x, "ndim", 1)
+            return jax.device_put(
+                x, NamedSharding(mesh, P(*(("d",) + (None,) * (nd - 1))))
+            )
+
+        put_repl = lambda x: jax.device_put(x, repl)
+    else:
+
+        def columns(traces, r_mont, i2_mont, pubx_mont):
+            a_mini = acc_j(traces["idx"], traces["perm"], traces["s"], r_mont)
+            outs = lde_many([traces[n] for n in _TRACE8] + [a_mini])
+            evs = dict(zip(_TRACE8, outs[:8]))
+            a_ev = outs[8]
+            # the 6 single-use LDE columns (k/f0/f1/f2/idx/perm) free as
+            # soon as rest_a consumes (donates) them -- ~3.2 GB at 2^23
+            del outs
+            return rest_a(evs, a_ev, r_mont, i2_mont, pubx_mont)
+
+        if mesh is not None:
+            _dev = mesh.devices.flat[0]
+            put_rows = lambda x: jax.device_put(x, _dev)
+            put_repl = put_rows
+        else:
+            put_rows = jnp.asarray
+            put_repl = jnp.asarray
 
     return {
         "xs_full": xs_full,
@@ -554,6 +627,10 @@ def build_proof_stages(
         "a_root": a_root_j,
         "acc": acc_j,
         "rest_a": rest_a,
+        "columns": columns,
+        "put_rows": put_rows,
+        "put_repl": put_repl,
+        "policy": gx,
         "m_commit": m_commit_j,
         "linc": linc_j,
         "l_commit": l_commit_j,
@@ -564,11 +641,11 @@ def build_proof_stages(
     }
 
 
-def _words_best(spec: FieldSpec, columns):
+def _words_best(spec: FieldSpec, columns, policy=None):
     """Leaf packing with the fused from_mont+pack kernel when available."""
     from stark_tpu.protocol.kernels import _pk
 
-    if _pk(columns[0].shape[1]):
+    if _pk(columns[0].shape[1], policy):
         from stark_tpu.protocol import pallas_kernels as pkm
 
         word_cols = [pkm.from_mont_pack_words(spec, c) for c in columns]

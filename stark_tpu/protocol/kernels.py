@@ -18,8 +18,16 @@ from stark_tpu.fields.field import FieldSpec
 from stark_tpu.ops import modmath as mm
 
 
-def _pk(n: int) -> bool:
-    """Route to the fused Pallas kernels (TPU, TILE-aligned domains)."""
+def _pk(n: int, policy=None) -> bool:
+    """Route to the fused Pallas kernels (TPU, TILE-aligned domains).
+
+    `policy` overrides the STARK_TPU_PALLAS env gate deterministically at
+    trace time: 'xla' forces the pure-XLA path (used by the mesh prover's
+    GLOBAL sharded stages, where a Pallas custom call cannot be partitioned
+    by GSPMD); None keeps the env/auto behavior (single chip, and
+    per-device bodies under shard_map, where Pallas is fine)."""
+    if policy == "xla":
+        return False
     v = os.environ.get("STARK_TPU_PALLAS", "auto")
     if v == "0" or n < 1024 or n % 1024:
         return False
@@ -36,20 +44,20 @@ def _pkm():
     return pallas_kernels
 
 
-def mmul_ev(spec: FieldSpec, a, b):
+def mmul_ev(spec: FieldSpec, a, b, policy=None):
     """Elementwise Montgomery product with Pallas dispatch (domain-sized)."""
-    if _pk(a.shape[1]):
+    if _pk(a.shape[1], policy):
         from stark_tpu.ops import pallas_field as pf
 
         return pf.mmul(spec, a, b)
     return mm.mmul(spec, a, b)
 
 
-def rand_combination(spec: FieldSpec, r_mont, idx_ev, perm_ev, s_ev):
+def rand_combination(spec: FieldSpec, r_mont, idx_ev, perm_ev, s_ev, policy=None):
     """val_nmr/val_dnm = r0 + r1*idx + r2*S (utils.rs:317-318,359-360).
 
     r_mont: (L, 3) Montgomery randomness columns."""
-    if _pk(s_ev.shape[1]):
+    if _pk(s_ev.shape[1], policy):
         return _pkm().rand_combination(spec, r_mont, idx_ev, perm_ev, s_ev)
     shape = s_ev.shape
     r0 = jnp.broadcast_to(r_mont[:, 0:1], shape)
@@ -69,9 +77,9 @@ def accumulator_mini(spec: FieldSpec, val_nmr, val_dnm):
     return mm.mmul(spec, acc_nmr, mm.multi_inv(spec, acc_dnm))
 
 
-def q1_eval(spec: FieldSpec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips: int):
+def q1_eval(spec: FieldSpec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips: int, policy=None):
     """Q1 = F0*(P - F1*P_prev - K*S) (utils.rs:181-213)."""
-    if _pk(s_ev.shape[1]):
+    if _pk(s_ev.shape[1], policy):
         return _pkm().q1_eval(spec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips)
     p_prev = jnp.roll(p_ev, skips, axis=1)
     return mm.mmul(
@@ -85,19 +93,19 @@ def q1_eval(spec: FieldSpec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips: int):
     )
 
 
-def q2_eval(spec: FieldSpec, p_ev, f2_ev, kshift: int):
+def q2_eval(spec: FieldSpec, p_ev, f2_ev, kshift: int, policy=None):
     """Q2 = F2*(P(+2k) - P*P(+k)), k = original_steps/3*skips
     (utils.rs:217-248)."""
-    if _pk(p_ev.shape[1]):
+    if _pk(p_ev.shape[1], policy):
         return _pkm().q2_eval(spec, p_ev, f2_ev, kshift)
     p_plus_w = jnp.roll(p_ev, -kshift, axis=1)
     p_plus_2w = jnp.roll(p_ev, -2 * kshift, axis=1)
     return mm.mmul(spec, f2_ev, mm.msub(spec, p_plus_2w, mm.mmul(spec, p_ev, p_plus_w)))
 
 
-def q3_eval(spec: FieldSpec, a_ev, val_nmr_big, val_dnm_big, skips: int):
+def q3_eval(spec: FieldSpec, a_ev, val_nmr_big, val_dnm_big, skips: int, policy=None):
     """Q3 = A*val_dnm - A_prev*val_nmr (utils.rs:344-376)."""
-    if _pk(a_ev.shape[1]):
+    if _pk(a_ev.shape[1], policy):
         return _pkm().q3_eval(spec, a_ev, val_nmr_big, val_dnm_big, skips)
     a_prev = jnp.roll(a_ev, skips, axis=1)
     return mm.msub(
@@ -105,10 +113,10 @@ def q3_eval(spec: FieldSpec, a_ev, val_nmr_big, val_dnm_big, skips: int):
     )
 
 
-def horner_eval(spec: FieldSpec, coeffs_mont, xs_full):
+def horner_eval(spec: FieldSpec, coeffs_mont, xs_full, policy=None):
     """Evaluate a low-degree polynomial (host-interpolated boundary
     interpolant) on the whole domain. coeffs_mont: (L, deg+1)."""
-    if _pk(xs_full.shape[1]):
+    if _pk(xs_full.shape[1], policy):
         return _pkm().horner_eval(spec, coeffs_mont, xs_full)
     out = jnp.zeros_like(xs_full)
     for i in range(coeffs_mont.shape[1] - 1, -1, -1):
@@ -117,9 +125,9 @@ def horner_eval(spec: FieldSpec, coeffs_mont, xs_full):
     return out
 
 
-def vanishing_eval(spec: FieldSpec, xs_full, points_mont):
+def vanishing_eval(spec: FieldSpec, xs_full, points_mont, policy=None):
     """Zb(x) = prod_i (x - x_i). points_mont: (L, n_points)."""
-    if _pk(xs_full.shape[1]):
+    if _pk(xs_full.shape[1], policy):
         return _pkm().vanishing_eval(spec, xs_full, points_mont)
     acc = jnp.broadcast_to(mm.mont_one(spec), xs_full.shape)
     for i in range(points_mont.shape[1]):
@@ -129,13 +137,14 @@ def vanishing_eval(spec: FieldSpec, xs_full, points_mont):
 
 
 def linear_combination(
-    spec: FieldSpec, k_mont, x_to_steps, p_ev, a_ev, s_ev, d1, d2, d3, b2, b3
+    spec: FieldSpec, k_mont, x_to_steps, p_ev, a_ev, s_ev, d1, d2, d3, b2, b3,
+    policy=None,
 ):
     """L = k0*D1 + k1*D2 + k2*D3 + k3*P + k4*P*x^steps + k5*B2 + k6*B2*x^steps
          + k7*B3 + k8*B3*x^steps + k9*A + k10*S  (prove.rs:293-322).
 
     k_mont: (L, 11) Montgomery Fiat-Shamir coefficients."""
-    if _pk(s_ev.shape[1]):
+    if _pk(s_ev.shape[1], policy):
         return _pkm().linear_combination(
             spec, k_mont, x_to_steps, p_ev, a_ev, s_ev, d1, d2, d3, b2, b3
         )

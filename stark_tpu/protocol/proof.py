@@ -84,12 +84,21 @@ def _fri_from(obj):
 
 
 def from_json(text: str) -> StarkProof:
-    obj = json.loads(text)
-    return StarkProof(
-        m_root=_bytes_from(obj["m_root"]),
-        l_root=_bytes_from(obj["l_root"]),
-        a_root=_bytes_from(obj["a_root"]),
-        main_branches=[_proof_from(p) for p in obj["main_branches"]],
-        linear_comb_branches=[_proof_from(p) for p in obj["linear_comb_branches"]],
-        fri_proof=[_fri_from(f) for f in obj["fri_proof"]],
-    )
+    """Parse an UNTRUSTED proof. Any structural defect (bad JSON, missing
+    keys, byte values outside 0..255, wrong nesting) raises ValueError;
+    count/length checks happen in `verify._validate_proof_shape` before any
+    cryptographic work."""
+    try:
+        obj = json.loads(text)
+        return StarkProof(
+            m_root=_bytes_from(obj["m_root"]),
+            l_root=_bytes_from(obj["l_root"]),
+            a_root=_bytes_from(obj["a_root"]),
+            main_branches=[_proof_from(p) for p in obj["main_branches"]],
+            linear_comb_branches=[
+                _proof_from(p) for p in obj["linear_comb_branches"]
+            ],
+            fri_proof=[_fri_from(f) for f in obj["fri_proof"]],
+        )
+    except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+        raise ValueError(f"malformed proof JSON: {e}") from None

@@ -130,11 +130,11 @@ def _col_bytes_np(spec, col) -> np.ndarray:
 _TRACE_NAMES = ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")
 
 
-@functools.lru_cache(maxsize=4)
-def _stages_cached(spec, steps, precision, original_steps):
+@functools.lru_cache(maxsize=8)
+def _stages_cached(spec, steps, precision, original_steps, mesh=None):
     from stark_tpu.protocol.core import build_proof_stages
 
-    return build_proof_stages(spec, steps, precision, original_steps)
+    return build_proof_stages(spec, steps, precision, original_steps, mesh)
 
 
 def mk_r1cs_proof(
@@ -143,9 +143,13 @@ def mk_r1cs_proof(
     public_wires: list[int],
     n_constraints: int,
     n_wires: int,
+    mesh=None,
 ) -> StarkProof:
     return materialize_r1cs_proof(
-        spec, enqueue_r1cs_proof(spec, arith, public_wires, n_constraints, n_wires)
+        spec,
+        enqueue_r1cs_proof(
+            spec, arith, public_wires, n_constraints, n_wires, mesh=mesh
+        ),
     )
 
 
@@ -155,26 +159,43 @@ def enqueue_r1cs_proof(
     public_wires: list[int],
     n_constraints: int,
     n_wires: int,
+    mesh=None,
 ) -> dict:
     """Enqueue the ENTIRE proof as one async device-dispatch chain (every
     Fiat-Shamir challenge is device-derived) and return the pending record;
     `materialize_r1cs_proof` syncs once and formats the StarkProof. Split
     so a serving loop can pipeline: enqueue proof i+1 while proof i's
-    arrays stream back (`runner.prove_many`)."""
+    arrays stream back (`runner.prove_many`).
+
+    `mesh`: optional 1-D device mesh ("d" axis). The SAME orchestration
+    (device transcript, staged jits, one materializing transfer) runs for
+    every geometry; only the `columns` stage is mesh-dependent (shard_map
+    four-step NTT at d>1, the fused single-chip engine otherwise). See
+    `core.build_proof_stages`."""
     p = spec.p
     original_steps = arith.original_steps
     assert original_steps <= 3 * n_constraints * n_wires
     params = derive_params(spec, original_steps)
     steps, precision, skips = params.steps, params.precision, params.skips
+    if mesh is not None:
+        d = int(mesh.devices.size)
+        assert steps >= d * d, (
+            f"four-step NTT needs steps >= n_devices^2 ({steps} < {d * d})"
+        )
 
     from stark_tpu.protocol.warmup import maybe_warmup
 
-    maybe_warmup(
-        spec, steps, precision, original_steps, len(arith.public_first_indices),
-        n_wires=(arith.witness_le.shape[0] if arith.witness_le is not None else 0),
-    )
-    stages = _stages_cached(spec, steps, precision, original_steps)
+    if mesh is None:
+        maybe_warmup(
+            spec, steps, precision, original_steps,
+            len(arith.public_first_indices),
+            n_wires=(
+                arith.witness_le.shape[0] if arith.witness_le is not None else 0
+            ),
+        )
+    stages = _stages_cached(spec, steps, precision, original_steps, mesh)
     xs_full = stages["xs_full"]
+    put_rows, put_repl = stages["put_rows"], stages["put_repl"]
 
     # --- pad traces to the power-of-two domain (prove.rs:55-68) ---
     if isinstance(arith.permuted_indices, np.ndarray):
@@ -201,29 +222,29 @@ def enqueue_r1cs_proof(
         perm_lo = (permuted & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         perm_hi = (permuted >> np.uint64(32)).astype(np.uint32)
         if arith.witness_le is not None and arith.slot_wire_ids is not None:
-            # circuit-static arrays upload ONCE per (arith, steps): serving
-            # loops (prove_many) reuse the same arith across witnesses, so
-            # only the witness crosses the transport per proof
+            # circuit-static arrays upload ONCE per (arith, steps, mesh):
+            # serving loops (prove_many) reuse the same arith across
+            # witnesses, so only the witness crosses the transport per proof
             statics = getattr(arith, "_device_statics", None)
-            if statics is None or statics[0] != steps:
+            if statics is None or statics[0] != (steps, mesh):
                 wids = np.zeros(steps, dtype=np.uint32)
                 wids[:original_steps] = arith.slot_wire_ids
                 statics = (
-                    steps,
-                    jnp.asarray(
+                    (steps, mesh),
+                    put_rows(
                         _col_bytes_np(spec, _pad_col(arith.coefficients, steps))
                     ),
-                    jnp.asarray(wids),
-                    jnp.asarray(f1_u8),
-                    jnp.asarray(f2_u8),
-                    jnp.asarray(perm_lo),
-                    jnp.asarray(perm_hi),
+                    put_rows(wids),
+                    put_rows(f1_u8),
+                    put_rows(f2_u8),
+                    put_rows(perm_lo),
+                    put_rows(perm_hi),
                 )
                 arith._device_statics = statics
             _, k_d, wids_d, f1_d, f2_d, plo_d, phi_d = statics
             traces = stages["wit_traces"](
                 k_d,
-                jnp.asarray(_col_bytes_np(spec, arith.witness_le)),
+                put_repl(_col_bytes_np(spec, arith.witness_le)),
                 wids_d,
                 f1_d,
                 f2_d,
@@ -239,12 +260,12 @@ def enqueue_r1cs_proof(
                 ],
                 axis=0,
             )
-            plo_d = jnp.asarray(perm_lo)
-            phi_d = jnp.asarray(perm_hi)
+            plo_d = put_rows(perm_lo)
+            phi_d = put_rows(perm_hi)
             traces = stages["traces"](
-                jnp.asarray(ksp),
-                jnp.asarray(f1_u8),
-                jnp.asarray(f2_u8),
+                put_rows(ksp),
+                put_rows(f1_u8),
+                put_rows(f2_u8),
                 plo_d,
                 phi_d,
             )
@@ -260,30 +281,21 @@ def enqueue_r1cs_proof(
         a_root_words = stages["a_root"](plo_d[None], phi_d[None], traces["s"])
         r_mont = stages["r"](a_root_words)
 
-    # --- accumulator + 9 LDEs (prove.rs:100-184) ---
-    with phase("lde_columns"):
-        a_mini = stages["acc"](traces["idx"], traces["perm"], traces["s"], r_mont)
-        outs = stages["lde_many"]([traces[n] for n in _TRACE_NAMES] + [a_mini])
-        evs = dict(zip(_TRACE_NAMES, outs[:8]))
-        a_ev = outs[8]
-
-    # --- quotients + boundaries (utils.rs:181-524) ---
-    with phase("quotients"):
+    # --- 9 LDEs + accumulator + quotients + boundaries
+    # (prove.rs:100-184, utils.rs:181-524) via the unified columns stage
+    # (fused single-chip engine, or shard_map four-step NTT on a mesh) ---
+    with phase("columns"):
         pub_xs = [
             pow(params.g2, skips * w, p) for (_, w) in arith.public_first_indices
         ]
         pub_ys = [public_wires[k] for (k, _) in arith.public_first_indices]
         interpolant2 = ph.lagrange_interp(spec, pub_xs, pub_ys)
-        cols, q_bad = stages["rest_a"](
-            evs,
-            a_ev,
+        cols, q_bad = stages["columns"](
+            traces,
             r_mont,
-            mm.mont_consts(spec, interpolant2),
-            mm.mont_consts(spec, pub_xs),
+            put_repl(mm.mont_consts(spec, interpolant2)),
+            put_repl(mm.mont_consts(spec, pub_xs)),
         )
-        # free the single-use LDE columns (k/f0/f1/f2/idx/perm never appear
-        # again; ~3.2 GB at precision 2^23 -- keeping them OOMs the commit)
-        del outs, evs, a_ev
 
     # --- m-tree (prove.rs:235-264) -> k (prove.rs:274-283) -> L -> l-tree ---
     with phase("commits"):
@@ -306,7 +318,8 @@ def enqueue_r1cs_proof(
     # --- FRI (prove.rs:367); the l_tree IS FRI round 0's value tree ---
     with phase("fri"):
         pending = fri.prove_low_degree_pending(
-            spec, l_ev, xs_full, precision // 4, skips, first_tree=l_tree
+            spec, l_ev, xs_full, precision // 4, skips, first_tree=l_tree,
+            policy=stages["policy"],
         )
 
     # every gather against these trees is dispatched above; dropping the

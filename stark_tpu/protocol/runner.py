@@ -40,7 +40,10 @@ def _spec_for(r1cs: R1csContents) -> FieldSpec:
     return BN254_FR
 
 
-def prove_with_witness(r1cs: R1csContents, witness_bytes: list[bytes]):
+def prove_with_witness(r1cs: R1csContents, witness_bytes: list[bytes], mesh=None):
+    """run.rs:310-452. `mesh`: optional 1-D device mesh; the unified prover
+    (same staged jits + device transcript for every geometry) shards the
+    evaluation domain over it (see `core.build_proof_stages`)."""
     spec = _spec_for(r1cs)
     h = r1cs.header
     n_pub = 1 + h.n_public_inputs + h.n_public_outputs
@@ -73,11 +76,13 @@ def prove_with_witness(r1cs: R1csContents, witness_bytes: list[bytes]):
             arith = arithmetize(
                 spec, r1cs.constraints, witness, h.n_wires, len(public_wires)
             )
-    return mk_r1cs_proof(spec, arith, public_wires, h.n_constraints, h.n_wires)
+    return mk_r1cs_proof(
+        spec, arith, public_wires, h.n_constraints, h.n_wires, mesh=mesh
+    )
 
 
 def prove_many(
-    r1cs: R1csContents, witness_bytes_list, pipeline: int = 2
+    r1cs: R1csContents, witness_bytes_list, pipeline: int = 2, mesh=None
 ) -> list:
     """Serving-mode throughput: prove many witnesses of ONE circuit.
 
@@ -135,7 +140,7 @@ def prove_many(
         arith, public_wires = _arith(wb)
         in_flight.append(
             enqueue_r1cs_proof(
-                spec, arith, public_wires, h.n_constraints, h.n_wires
+                spec, arith, public_wires, h.n_constraints, h.n_wires, mesh=mesh
             )
         )
         if len(in_flight) >= pipeline:

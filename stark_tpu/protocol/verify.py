@@ -27,6 +27,97 @@ from stark_tpu.utils import poly_host as ph
 from stark_tpu.utils.tracing import phase
 
 
+def _validate_proof_shape(proof: StarkProof, precision: int) -> None:
+    """Structural well-formedness of an untrusted proof BEFORE any crypto.
+
+    The reference verifier is assert/panic-driven and only type-checks the
+    FRI round sequence (`fri.rs:332-334,366-371`); a malformed proof (e.g.
+    truncated branch lists) would index out of bounds. Here every count and
+    byte-length the verifier later relies on is checked up front, so a bad
+    proof always fails with a clean ValueError, never an IndexError or a
+    shape error inside a kernel."""
+
+    def _chk(cond, msg):
+        if not cond:
+            raise ValueError(f"malformed proof: {msg}")
+
+    for name in ("m_root", "l_root", "a_root"):
+        root = getattr(proof, name)
+        _chk(isinstance(root, (bytes, bytearray)), f"{name} is not bytes")
+        _chk(len(root) == 32, f"{name} must be 32 bytes, got {len(root)}")
+
+    def _chk_branches(branches, n_expect, leaf_bytes, what):
+        _chk(isinstance(branches, list), f"{what} is not a list")
+        _chk(
+            len(branches) == n_expect,
+            f"{what} must have {n_expect} entries, got {len(branches)}",
+        )
+        for b in branches:
+            _chk(
+                isinstance(b.leaf, (bytes, bytearray)),
+                f"{what} leaf is not bytes",
+            )
+            _chk(
+                len(b.leaf) == leaf_bytes,
+                f"{what} leaf must be {leaf_bytes} bytes, got {len(b.leaf)}",
+            )
+            _chk(isinstance(b.nodes, list), f"{what} nodes is not a list")
+            _chk(len(b.nodes) <= 64, f"{what} branch deeper than any tree")
+            for n in b.nodes:
+                _chk(
+                    isinstance(n, (bytes, bytearray)) and len(n) == 32,
+                    f"{what} sibling nodes must be 32 bytes",
+                )
+
+    n_pos = SPOT_CHECK_SECURITY_FACTOR
+    _chk_branches(proof.main_branches, 4 * n_pos, 256, "main_branches")
+    _chk_branches(
+        proof.linear_comb_branches, n_pos, 32, "linear_comb_branches"
+    )
+
+    # FRI round sequence: the exact Middle count for this domain, one Last
+    fri_rounds = 0
+    mdp = precision // 4
+    while mdp > fri.MIN_DEG_DIRECT_CHECKING:
+        fri_rounds += 1
+        mdp //= 4
+    _chk(isinstance(proof.fri_proof, list), "fri_proof is not a list")
+    _chk(
+        len(proof.fri_proof) == fri_rounds + 1,
+        f"fri_proof must have {fri_rounds + 1} rounds, got {len(proof.fri_proof)}",
+    )
+    for i, f in enumerate(proof.fri_proof[:-1]):
+        _chk(
+            isinstance(f, fri.FriMiddle),
+            f"fri_proof[{i}] must be Middle",
+        )
+        _chk(
+            isinstance(f.root2, (bytes, bytearray)) and len(f.root2) == 32,
+            f"fri_proof[{i}].root2 must be 32 bytes",
+        )
+        _chk_branches(
+            f.column_branches, fri.QUERIES_PER_ROUND, 32,
+            f"fri_proof[{i}].column_branches",
+        )
+        _chk_branches(
+            f.poly_branches, 4 * fri.QUERIES_PER_ROUND, 32,
+            f"fri_proof[{i}].poly_branches",
+        )
+    last = proof.fri_proof[-1]
+    _chk(isinstance(last, fri.FriLast), "fri_proof must end with Last")
+    _chk(isinstance(last.last, list), "Last.last is not a list")
+    expect_n = max(precision >> (2 * fri_rounds), 1)
+    _chk(
+        len(last.last) == expect_n,
+        f"Last.last must have {expect_n} values, got {len(last.last)}",
+    )
+    for v in last.last:
+        _chk(
+            isinstance(v, (bytes, bytearray)) and len(v) == 32,
+            "Last.last values must be 32 bytes",
+        )
+
+
 @functools.lru_cache(maxsize=2)
 def _gather_j(spec):
     import jax
@@ -77,6 +168,8 @@ def verify_r1cs_proof(
     coeffs = _pad_col(coefficients, steps)
     f1 = _pad_col(flag1, steps)
     f2 = _pad_col(flag2, steps)
+
+    _validate_proof_shape(proof, precision)
 
     # FRI first (verify.rs:82-85)
     with phase("v_fri"):
