@@ -23,6 +23,8 @@ from stark_tpu.protocol import proof as proof_mod
 from stark_tpu.protocol import runner
 from stark_tpu.r1cs.reader import read_r1cs, read_witness
 
+pytestmark = pytest.mark.quick
+
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
 

@@ -15,6 +15,10 @@ from stark_tpu.ops import modmath as mm
 from stark_tpu.protocol import device_transcript as dt
 from stark_tpu.protocol import transcript as ts
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 SEEDS = [hashlib.blake2s(bytes([i])).digest() for i in range(5)]
 
 

@@ -9,6 +9,8 @@ import pytest
 from stark_tpu.fields.field import BLS12_381_FR, BN254_FR, F7
 from stark_tpu.ops import modmath as mm
 
+pytestmark = pytest.mark.quick
+
 
 def test_fp_to_hex():
     # fp.rs:27-33

@@ -10,6 +10,8 @@ from stark_tpu.merkle import tree as mt
 from stark_tpu.ops import blake2s as b2
 from stark_tpu.protocol import transcript as ts
 
+pytestmark = pytest.mark.quick
+
 
 def test_blake_kat():
     # commitment/src/utils.rs:12-24

@@ -32,6 +32,7 @@ def _fixture_bytes(name):
     return r1cs, wtns
 
 
+@pytest.mark.quick
 def test_oracle_matches_golden():
     """Guards the oracle itself against accidental edits."""
     r1cs, wtns = _fixture_bytes("compute")
@@ -40,6 +41,7 @@ def test_oracle_matches_golden():
         assert got == f.read()
 
 
+@pytest.mark.quick
 def test_prover_matches_golden(tmp_path):
     """The production prover's JSON is byte-identical to the oracle's."""
     out = str(tmp_path / "compute_proof.json")
@@ -54,6 +56,7 @@ def test_prover_matches_golden(tmp_path):
         assert got == f.read()
 
 
+@pytest.mark.quick
 def test_verifier_accepts_golden():
     """The production verifier accepts the oracle-generated proof."""
     from stark_tpu.r1cs.reader import read_r1cs, read_witness

@@ -11,6 +11,8 @@ from stark_tpu.ops.poseidon import (
     round_constants,
 )
 
+pytestmark = pytest.mark.quick
+
 # (message length, expected hex digest) -- message = bytes(range(n)) padded
 # with zeros to 64 bytes, exactly as the reference tests construct it.
 KATS = [

@@ -7,6 +7,10 @@ from stark_tpu.fields.field import BN254_FR
 from stark_tpu.r1cs.arithmetize import arithmetize
 from stark_tpu.r1cs.reader import read_r1cs, read_witness
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
