@@ -34,13 +34,19 @@ from stark_tpu.r1cs.synth import squaring_chain
 
 def main():
     n = int(os.environ.get("N", 21845))
-    do_warm = os.environ.get("WARMUP", "1") != "0"
+    # WARMUP=0: serial cold prove (no warmup). WARMUP=1: blocking foreground
+    # warmup, then prove. default/auto: the production path -- the prover's
+    # background auto-warmup races the first prove (protocol/warmup.py).
+    mode = os.environ.get("WARMUP", "auto")
+    os.environ["STARK_TPU_WARMUP"] = "0" if mode == "0" else (
+        "1" if mode == "1" else "auto"
+    )
     r1cs, wb = squaring_chain(n)
+    n_pub = 1 + r1cs.header.n_public_inputs + r1cs.header.n_public_outputs
 
     warm_s = None
-    if do_warm:
+    if mode == "1":
         h = r1cs.header
-        n_pub = 1 + h.n_public_inputs + h.n_public_outputs
         arith = arithmetize(spec, r1cs.constraints, None, h.n_wires, n_pub)
         params = derive_params(spec, arith.original_steps)
         t0 = time.time()
@@ -50,13 +56,18 @@ def main():
             params.precision,
             arith.original_steps,
             len(arith.public_first_indices),
+            n_wires=(h.n_wires if runner._device_arith() else 0),
         )
         warm_s = time.time() - t0
         print(f"warmup: {n_targets} targets in {warm_s:.1f}s", flush=True)
 
-    t0 = time.time()
+    t_start = time.time()
     proof = runner.prove_with_witness(r1cs, wb)
-    first_prove_s = time.time() - t0
+    first_prove_s = time.time() - t_start
+    t0 = time.time()
+    verified = runner.verify_with_witness(r1cs, wb[:n_pub], proof)
+    first_verify_s = time.time() - t0
+    to_first_verified_s = time.time() - t_start
     t0 = time.time()
     runner.prove_with_witness(r1cs, wb)
     second_prove_s = time.time() - t0
@@ -66,9 +77,13 @@ def main():
         + json.dumps(
             {
                 "kind": "coldstart",
+                "mode": mode,
                 "n_constraints": n,
                 "warmup_s": None if warm_s is None else round(warm_s, 1),
                 "first_prove_s": round(first_prove_s, 1),
+                "first_verify_s": round(first_verify_s, 1),
+                "to_first_verified_s": round(to_first_verified_s, 1),
+                "verified": bool(verified),
                 "second_prove_s": round(second_prove_s, 1),
                 "cache_dir": cache,
             }

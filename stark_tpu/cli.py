@@ -35,7 +35,7 @@ def main(argv=None) -> int:
     from stark_tpu.protocol import runner
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    if argv and argv[0] not in ("prove", "verify", "run", "warmup"):
+    if argv and argv[0] not in ("prove", "verify", "run", "warmup", "serve"):
         argv = ["run"] + argv  # bare 3-arg form, like `cargo run a b c`
 
     parser = argparse.ArgumentParser(prog="stark-tpu")
@@ -45,6 +45,11 @@ def main(argv=None) -> int:
         sp.add_argument("r1cs")
         sp.add_argument("wtns")
         sp.add_argument("proof_json")
+        sp.add_argument(
+            "--digest", choices=("blake2s", "poseidon"), default="blake2s",
+            help="tree digest (the reference's H: Digest parameter); "
+            "poseidon commits the l/FRI trees (see core.build_proof_stages)",
+        )
     wp = sub.add_parser(
         "warmup",
         help="precompile every prover/verifier executable for a circuit "
@@ -52,7 +57,17 @@ def main(argv=None) -> int:
     )
     wp.add_argument("r1cs")
     wp.add_argument("--threads", type=int, default=None)
+    sub.add_parser(
+        "serve",
+        help="long-lived proving worker: line-delimited JSON-RPC on stdio "
+        "(warm caches across calls; used by packages/node)",
+    )
     args = parser.parse_args(argv)
+
+    if args.cmd == "serve":
+        from stark_tpu.serve import serve
+
+        return serve()
 
     t0 = time.time()
     if args.cmd == "warmup":
@@ -79,12 +94,18 @@ def main(argv=None) -> int:
         )
         print(f"warmed {n} executables (steps={params.steps})")
     elif args.cmd == "prove":
-        runner.prove_with_file_path(args.r1cs, args.wtns, args.proof_json)
+        runner.prove_with_file_path(
+            args.r1cs, args.wtns, args.proof_json, digest=args.digest
+        )
     elif args.cmd == "verify":
-        runner.verify_with_file_path(args.r1cs, args.wtns, args.proof_json)
+        runner.verify_with_file_path(
+            args.r1cs, args.wtns, args.proof_json, digest=args.digest
+        )
         print("Done proof verification")
     else:
-        runner.run_with_file_path(args.r1cs, args.wtns, args.proof_json)
+        runner.run_with_file_path(
+            args.r1cs, args.wtns, args.proof_json, digest=args.digest
+        )
         print("Done proof verification")
     print(f"{args.cmd}: {time.time() - t0:.3f}s")
     return 0

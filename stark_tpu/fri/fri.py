@@ -62,11 +62,11 @@ def _fold_xsets(arr, quarter: int):
     return jnp.moveaxis(arr.reshape(L, 4, quarter), 1, 2)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _commit_j(spec: FieldSpec, values_mont, policy=None):
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _commit_j(spec: FieldSpec, values_mont, policy=None, digest="blake2s"):
     """One dispatch: canonical leaf words + every tree layer."""
     words = _value_words(spec, values_mont, policy)
-    return words, mt._build_layers(words, 32, policy)
+    return words, mt.build_layers_digest(words, 32, policy, digest)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -181,6 +181,7 @@ def prove_low_degree(
     deg_direct_checking: int = MIN_DEG_DIRECT_CHECKING,
     first_tree: mt.DeviceMerkleTree | None = None,
     policy=None,
+    digest: str = "blake2s",
 ):
     """Prove the (L, N) Montgomery evaluations have degree < max_deg_plus_1.
 
@@ -207,6 +208,7 @@ def prove_low_degree(
         deg_direct_checking,
         first_tree,
         policy,
+        digest,
     )
     flats = materialize_u32(pending["device_arrays"])
     return assemble_fri(spec, pending, flats)
@@ -221,6 +223,7 @@ def prove_low_degree_pending(
     deg_direct_checking: int = MIN_DEG_DIRECT_CHECKING,
     first_tree: mt.DeviceMerkleTree | None = None,
     policy=None,
+    digest: str = "blake2s",
 ):
     """Fully-async FRI: every challenge (special_x, query indices) is
     derived ON DEVICE (`protocol/device_transcript`), so the whole
@@ -244,7 +247,7 @@ def prove_low_degree_pending(
             m_tree = first_tree
             first_tree = None
         else:
-            words, layers = _commit_j(spec, values, policy)
+            words, layers = _commit_j(spec, values, policy, digest)
             m_tree = mt.DeviceMerkleTree(words, 32, list(layers))
         val_root_w = m_tree.layers[-1][:, 0]
         sx = _sx_j(spec, val_root_w)
@@ -252,7 +255,7 @@ def prove_low_degree_pending(
         quarter = n // 4
         column = _fold_j(spec, values, xs, sx, policy)
 
-        c_words, c_layers = _commit_j(spec, column, policy)
+        c_words, c_layers = _commit_j(spec, column, policy, digest)
         m2_tree = mt.DeviceMerkleTree(c_words, 32, list(c_layers))
         root2_w = c_layers[-1][:, 0]
         ys, poly_positions = _ys_j(root2_w, quarter, exclude_multiples_of)
@@ -315,8 +318,10 @@ def verify_low_degree_proof(
     proof,
     max_deg_plus_1: int,
     exclude_multiples_of: int = 0,
+    digest: str = "blake2s",
 ) -> bool:
-    """Host-side FRI verification (`fri.rs:226-404`); raises on failure."""
+    """Host-side FRI verification (`fri.rs:226-404`); raises on failure.
+    `digest` must match the prover's tree digest (`H: Digest` parity)."""
     p = spec.p
     # infer domain order by repeated squaring (fri.rs:253-258)
     rou_deg = 1
@@ -341,9 +346,11 @@ def verify_low_degree_proof(
         )
         poly_positions = [j * (rou_deg // 4) + y for y in ys for j in range(4)]
 
-        column_values = mt.verify_multi_branch(prf.root2, ys, prf.column_branches)
+        column_values = mt.verify_multi_branch(
+            prf.root2, ys, prf.column_branches, digest
+        )
         poly_values = mt.verify_multi_branch(
-            merkle_root, poly_positions, prf.poly_branches
+            merkle_root, poly_positions, prf.poly_branches, digest
         )
 
         for i, y in enumerate(ys):
@@ -377,7 +384,7 @@ def verify_low_degree_proof(
 
     decoded = [spec.from_bytes_le(v) for v in data]
     # Merkle root of the raw last data must match (fri.rs:373-381)
-    if mt.commit(list(data)).root != merkle_root:
+    if mt.commit(list(data), digest).root != merkle_root:
         raise ValueError("FRI last-round root mismatch")
 
     # direct low-degree check (fri.rs:384-400)

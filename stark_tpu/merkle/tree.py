@@ -64,6 +64,14 @@ class MerkleTree:
             nodes = []
             t = idx
             for layer in self.layers[:-1]:
+                if (t ^ 1) >= layer.shape[0]:
+                    # lone node on an odd-width layer: the reference's
+                    # sibling walk panics here (serial_merkle_tree.rs:29)
+                    raise ValueError(
+                        f"index {idx}: no sibling on a width-"
+                        f"{layer.shape[0]} layer (odd-width trees have no "
+                        "well-defined branches; parity with the reference)"
+                    )
                 nodes.append(layer[t ^ 1].tobytes())
                 t //= 2
             proofs.append(MerkleProof(self.leaves[idx].tobytes(), nodes))
@@ -75,9 +83,17 @@ def commit_np(leaves_np: np.ndarray, digest: str = "blake2s") -> MerkleTree:
 
     `digest` picks the hash, like the reference's `H: Digest` type parameter
     (`merkle_tree.rs:60-73`): "blake2s" (the production hash) or "poseidon"
-    (leaves must be <=64 bytes, as `poseidon.rs:33` enforces)."""
+    (leaves must be <=64 bytes, as `poseidon.rs:33` enforces).
+
+    Non-power-of-two widths follow `serial_merkle_tree.rs:62-83`: layers
+    fold with `chunks(2)`, so a lone trailing node hashes ALONE (a 32-byte
+    message). Note the reference's own `gen_proof`/`validate`
+    (`serial_merkle_tree.rs:25-38`, `merkle_tree.rs:25-43`) cannot produce
+    or check a branch that walks through such a node (the sibling lookup
+    `row[tmp ^ 1]` panics); `gen_proofs` here raises a clean ValueError in
+    that case instead. The protocol itself only commits power-of-two
+    domains."""
     n, leaf_bytes = leaves_np.shape
-    assert n & (n - 1) == 0, "power-of-two leaf count required"
     if digest == "blake2s":
         words = jnp.asarray(b2.bytes_to_words_np(leaves_np, leaf_bytes))
         digests = b2.blake2s_words_best(words, leaf_bytes)  # (8, N)
@@ -85,9 +101,20 @@ def commit_np(leaves_np: np.ndarray, digest: str = "blake2s") -> MerkleTree:
         cur = digests
         while cur.shape[1] > 1:
             # pair (2i, 2i+1): message = 16 words (left digest || right digest)
-            m = cur.reshape(8, cur.shape[1] // 2, 2)
-            msg = jnp.concatenate([m[:, :, 0], m[:, :, 1]], axis=0)  # (16, n/2)
-            cur = b2.blake2s_words_best(msg, 64)
+            m = cur.shape[1] // 2
+            pairs = cur[:, : 2 * m].reshape(8, m, 2)
+            msg = jnp.concatenate(
+                [pairs[:, :, 0], pairs[:, :, 1]], axis=0
+            )  # (16, m)
+            nxt = b2.blake2s_words_best(msg, 64)
+            if cur.shape[1] % 2:  # lone tail node: hash the 32-byte digest
+                tail = jnp.concatenate(
+                    [cur[:, -1:], jnp.zeros((8, 1), jnp.uint32)], axis=0
+                )
+                nxt = jnp.concatenate(
+                    [nxt, b2.blake2s_words_best(tail, 32)], axis=1
+                )
+            cur = nxt
             layers.append(b2.digest_words_to_bytes_np(cur))
     elif digest == "poseidon":
         from stark_tpu.fields.field import BLS12_381_FR
@@ -97,12 +124,18 @@ def commit_np(leaves_np: np.ndarray, digest: str = "blake2s") -> MerkleTree:
         layers = [pos.poseidon_hash_leaves_np(leaves_np)]
         while layers[-1].shape[0] > 1:
             cur = layers[-1]
-            limbs = mm.bytes_le_to_limbs_np(cur, BLS12_381_FR)  # (L, n_i)
+            m = cur.shape[0] // 2
+            limbs = mm.bytes_le_to_limbs_np(cur[: 2 * m], BLS12_381_FR)
             left, right = limbs[:, 0::2], limbs[:, 1::2]
             folded = pos.poseidon_hash_pairs(
                 BLS12_381_FR, jnp.asarray(left), jnp.asarray(right)
             )
-            layers.append(mm.limbs_to_bytes_le_np(np.asarray(folded), BLS12_381_FR))
+            nxt = mm.limbs_to_bytes_le_np(np.asarray(folded), BLS12_381_FR)
+            if cur.shape[0] % 2:
+                nxt = np.concatenate(
+                    [nxt, pos.poseidon_hash_leaves_np(cur[-1:])], axis=0
+                )
+            layers.append(nxt)
     else:
         raise ValueError(f"unknown digest {digest!r}")
     return MerkleTree(leaves_np, layers, digest)
@@ -224,6 +257,49 @@ def _build_layers(leaf_words, leaf_bytes: int, policy=None):
         h = b2.blake2s_words_best(msg, 64, policy)
         layers.append(h)
     return tuple(layers)
+
+
+def _build_layers_poseidon(leaf_words):
+    """Device Poseidon tree layers over (W, N) u32 LE words of 32-byte
+    value leaves (the l-tree / FRI-tree leaf shape). Returns (8, n_i) u32
+    digest-word layers — the same layout `_build_layers` produces, so
+    `DeviceMerkleTree` gathers/branches work unchanged.
+
+    Digest semantics = the reference's `PoseidonDigest`
+    (`commitment/src/poseidon.rs:30-63`): leaf hash = Poseidon(tag, v, 0)
+    over BLS12-381 Fr, fold = Poseidon(tag, left, right). The 32-byte
+    leaves here are canonical BN254 Fr encodings, and BN254 r < BLS12-381
+    Fr p, so every chunk is canonical by construction (the reference
+    panics otherwise — that case cannot arise for these trees)."""
+    from stark_tpu.fields.field import BLS12_381_FR as B
+    from stark_tpu.ops import poseidon as pos
+
+    w = leaf_words[:8]  # (8, N): the 32-byte value; rest is block padding
+    lo, hi = w & jnp.uint32(0xFFFF), w >> jnp.uint32(16)
+    limbs = jnp.stack([lo, hi], axis=1).reshape(16, w.shape[1])
+    cur = pos.poseidon_hash_pairs(B, limbs, jnp.zeros_like(limbs))
+    pack = lambda c: c[0::2] | (c[1::2] << jnp.uint32(16))
+    layers = [pack(cur)]
+    while cur.shape[1] > 1:
+        cur = pos.poseidon_hash_pairs(B, cur[:, 0::2], cur[:, 1::2])
+        layers.append(pack(cur))
+    return tuple(layers)
+
+
+def build_layers_digest(leaf_words, leaf_bytes: int, policy=None, digest="blake2s"):
+    """Digest-parameterized device layer builder (the reference's
+    `H: Digest` type parameter, `merkle_tree.rs:60-73`, over device trees).
+    Poseidon requires 32-byte value leaves (see `_build_layers_poseidon`)."""
+    if digest == "blake2s":
+        return _build_layers(leaf_words, leaf_bytes, policy)
+    if digest == "poseidon":
+        assert leaf_bytes == 32, (
+            "device poseidon trees need 32-byte canonical value leaves; "
+            f"got {leaf_bytes} (the reference's PoseidonDigest caps input "
+            "at 64 bytes and panics on non-canonical chunks, poseidon.rs:33)"
+        )
+        return _build_layers_poseidon(leaf_words)
+    raise ValueError(f"unknown digest {digest!r}")
 
 
 def commit_words(leaf_words, leaf_bytes: int) -> DeviceMerkleTree:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -147,45 +148,54 @@ def poseidon_permute_batch(spec: FieldSpec, state):
     """Batched Poseidon permutation. `state`: length-3 list of (L, N)
     Montgomery limb planes. Returns the permuted state (same layout).
 
-    Rounds are a static Python unroll (63 rounds) of pure elementwise limb
-    kernels -- everything vectorizes over the N lanes, so a whole Merkle
-    layer is one permutation."""
+    The 63 rounds run under ONE `lax.scan` body (round constants are a
+    scanned input; the partial-round sbox gate is a scanned boolean), so
+    the compiled module holds a single round instead of a 63-round unroll
+    -- a full protocol pipeline with Poseidon commitments (digest=
+    "poseidon") compiles in seconds instead of timing out, and the device
+    work is unchanged (everything vectorizes over the N lanes, so a whole
+    Merkle layer is one permutation)."""
     rc = round_constants(p=spec.p)
     mds = mds_matrix(p=spec.p)
-    rc_mont = [mm.mont_const(spec, c) for c in rc]
-    mds_mont = [[mm.mont_const(spec, mds[i][j]) for j in range(T)] for i in range(T)]
-    off = 0
+    L = spec.num_limbs
+    total = FULL_ROUNDS + PARTIAL_ROUNDS
+    # (total, L, T, 1) scanned round constants; (L, T, T) mds in Montgomery
+    rc_mont = jnp.moveaxis(
+        mm.mont_consts(spec, list(rc)).reshape(L, total, T), 1, 0
+    )[..., None]
+    mds_flat = mm.mont_consts(
+        spec, [mds[i][j] for i in range(T) for j in range(T)]
+    ).reshape(L, T, T)
     half = FULL_ROUNDS // 2
-    for rnd in range(FULL_ROUNDS + PARTIAL_ROUNDS):
-        state = [
-            mm.madd(spec, s, jnp.broadcast_to(rc_mont[off + i], s.shape))
-            for i, s in enumerate(state)
-        ]
-        off += T
-        if half <= rnd < half + PARTIAL_ROUNDS:
-            state = [_sbox5(spec, state[0]), state[1], state[2]]
-        else:
-            state = [_sbox5(spec, s) for s in state]
-        new = []
+    partial = jnp.asarray(
+        np.array(
+            [half <= r < half + PARTIAL_ROUNDS for r in range(total)],
+            dtype=bool,
+        )
+    )
+    st0 = jnp.stack(state, axis=1)  # (L, T, N): mm ops batch over (T, N)
+    n = st0.shape[2]
+
+    def body(st, xs):
+        rc_r, part = xs
+        st = mm.madd(spec, st, jnp.broadcast_to(rc_r, st.shape))
+        sb = _sbox5(spec, st)
+        # partial rounds sbox only state[0]; states 1..T-1 pass through
+        st = jnp.where(part, jnp.concatenate([sb[:, :1], st[:, 1:]], axis=1), sb)
+        outs = []
         for j in range(T):
-            acc = mm.mmul(
-                spec,
-                jnp.broadcast_to(mds_mont[0][j], state[0].shape),
-                state[0],
-            )
-            for i in range(1, T):
-                acc = mm.madd(
-                    spec,
-                    acc,
-                    mm.mmul(
-                        spec,
-                        jnp.broadcast_to(mds_mont[i][j], state[i].shape),
-                        state[i],
-                    ),
+            acc = None
+            for i in range(T):
+                m = jnp.broadcast_to(
+                    mds_flat[:, i, j][:, None, None], (L, 1, n)
                 )
-            new.append(acc)
-        state = new
-    return state
+                term = mm.mmul(spec, m, st[:, i : i + 1])
+                acc = term if acc is None else mm.madd(spec, acc, term)
+            outs.append(acc)
+        return jnp.concatenate(outs, axis=1), None
+
+    st, _ = jax.lax.scan(body, st0, (rc_mont, partial))
+    return [st[:, i] for i in range(T)]
 
 
 def poseidon_hash_pairs(spec: FieldSpec, left, right):

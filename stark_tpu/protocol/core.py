@@ -240,7 +240,8 @@ def build_staged_prover(
 
 
 def build_proof_stages(
-    spec: FieldSpec, steps: int, precision: int, original_steps: int, mesh=None
+    spec: FieldSpec, steps: int, precision: int, original_steps: int, mesh=None,
+    digest: str = "blake2s",
 ):
     """Staged jits for the REAL (transcript-driven) prover.
 
@@ -249,6 +250,19 @@ def build_proof_stages(
     side in ~8 dispatches instead of eager op-at-a-time chains (each eager
     sync is a tunnel round trip on the remote-TPU transport; the orches-
     trated prover previously spent ~25 s of its 28 s warm wall there).
+
+    `digest`: the `H: Digest` type parameter of the reference's
+    prove/verify/FRI (`run.rs:528-533`, `fri.rs:17-26`). "poseidon" commits
+    the l-tree and every FRI tree (32-byte canonical-value leaves, always
+    canonical BLS12-381 Fr chunks) with the reference-compatible Poseidon
+    digest, fully device-resident. The m-tree's 256-byte leaves exceed
+    Poseidon's 64-byte input cap — the reference's own limitation
+    (`poseidon.rs:33` panics) — and the a-tree's 40-byte (perm||S) leaves
+    straddle the 32-byte chunk boundary, making chunk canonicity
+    witness-dependent (the reference would panic mid-prove); both stay
+    blake2s under either digest, as does the Fiat-Shamir sampler (the
+    reference's `get_pseudorandom_indices`/`mk_seed` are blake-only, not
+    H-generic: `commitment/src/utils.rs:82-109`, `r1cs-stark/src/utils.rs:51-57`).
 
     `mesh`: an optional 1-D `jax.sharding.Mesh` ("d" axis). ONE prover
     serves every geometry (the reference's crossbeam `Worker` axis,
@@ -489,7 +503,7 @@ def build_proof_stages(
     @jax.jit
     def l_commit_j(l_ev):
         words = _words_best(spec, [l_ev], gx)
-        return words, mt._build_layers(words, 32, gx)
+        return words, mt.build_layers_digest(words, 32, gx, digest)
 
     from stark_tpu.protocol import device_transcript as dt
 

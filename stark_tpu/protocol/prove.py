@@ -131,10 +131,13 @@ _TRACE_NAMES = ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")
 
 
 @functools.lru_cache(maxsize=8)
-def _stages_cached(spec, steps, precision, original_steps, mesh=None):
+def _stages_cached(spec, steps, precision, original_steps, mesh=None,
+                   digest="blake2s"):
     from stark_tpu.protocol.core import build_proof_stages
 
-    return build_proof_stages(spec, steps, precision, original_steps, mesh)
+    return build_proof_stages(
+        spec, steps, precision, original_steps, mesh, digest
+    )
 
 
 def mk_r1cs_proof(
@@ -144,11 +147,13 @@ def mk_r1cs_proof(
     n_constraints: int,
     n_wires: int,
     mesh=None,
+    digest: str = "blake2s",
 ) -> StarkProof:
     return materialize_r1cs_proof(
         spec,
         enqueue_r1cs_proof(
-            spec, arith, public_wires, n_constraints, n_wires, mesh=mesh
+            spec, arith, public_wires, n_constraints, n_wires, mesh=mesh,
+            digest=digest,
         ),
     )
 
@@ -160,6 +165,7 @@ def enqueue_r1cs_proof(
     n_constraints: int,
     n_wires: int,
     mesh=None,
+    digest: str = "blake2s",
 ) -> dict:
     """Enqueue the ENTIRE proof as one async device-dispatch chain (every
     Fiat-Shamir challenge is device-derived) and return the pending record;
@@ -183,9 +189,13 @@ def enqueue_r1cs_proof(
             f"four-step NTT needs steps >= n_devices^2 ({steps} < {d * d})"
         )
 
+    # build the stages FIRST so the background warmup thread hits the lru
+    # cache instead of racing a second (device-table-materializing) build
+    stages = _stages_cached(spec, steps, precision, original_steps, mesh, digest)
+
     from stark_tpu.protocol.warmup import maybe_warmup
 
-    if mesh is None:
+    if mesh is None and digest == "blake2s":
         maybe_warmup(
             spec, steps, precision, original_steps,
             len(arith.public_first_indices),
@@ -193,7 +203,6 @@ def enqueue_r1cs_proof(
                 arith.witness_le.shape[0] if arith.witness_le is not None else 0
             ),
         )
-    stages = _stages_cached(spec, steps, precision, original_steps, mesh)
     xs_full = stages["xs_full"]
     put_rows, put_repl = stages["put_rows"], stages["put_repl"]
 
@@ -319,7 +328,7 @@ def enqueue_r1cs_proof(
     with phase("fri"):
         pending = fri.prove_low_degree_pending(
             spec, l_ev, xs_full, precision // 4, skips, first_tree=l_tree,
-            policy=stages["policy"],
+            policy=stages["policy"], digest=digest,
         )
 
     # every gather against these trees is dispatched above; dropping the

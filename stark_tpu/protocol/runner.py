@@ -40,7 +40,10 @@ def _spec_for(r1cs: R1csContents) -> FieldSpec:
     return BN254_FR
 
 
-def prove_with_witness(r1cs: R1csContents, witness_bytes: list[bytes], mesh=None):
+def prove_with_witness(
+    r1cs: R1csContents, witness_bytes: list[bytes], mesh=None,
+    digest: str = "blake2s",
+):
     """run.rs:310-452. `mesh`: optional 1-D device mesh; the unified prover
     (same staged jits + device transcript for every geometry) shards the
     evaluation domain over it (see `core.build_proof_stages`)."""
@@ -77,7 +80,8 @@ def prove_with_witness(r1cs: R1csContents, witness_bytes: list[bytes], mesh=None
                 spec, r1cs.constraints, witness, h.n_wires, len(public_wires)
             )
     return mk_r1cs_proof(
-        spec, arith, public_wires, h.n_constraints, h.n_wires, mesh=mesh
+        spec, arith, public_wires, h.n_constraints, h.n_wires, mesh=mesh,
+        digest=digest,
     )
 
 
@@ -208,7 +212,10 @@ def prove_with_witness_native(r1cs_bytes: bytes, wtns_bytes: bytes):
     return mk_r1cs_proof(spec, arith, public_wires, flat.n_constraints, flat.n_wires)
 
 
-def verify_with_witness(r1cs: R1csContents, public_wires_bytes: list[bytes], proof) -> bool:
+def verify_with_witness(
+    r1cs: R1csContents, public_wires_bytes: list[bytes], proof,
+    digest: str = "blake2s",
+) -> bool:
     spec = _spec_for(r1cs)
     h = r1cs.header
     n_pub = 1 + h.n_public_inputs + h.n_public_outputs
@@ -261,6 +268,7 @@ def verify_with_witness(r1cs: R1csContents, public_wires_bytes: list[bytes], pro
         h.n_constraints,
         h.n_wires,
         ev_cache=ev_cache,
+        digest=digest,
     )
 
 
@@ -269,28 +277,34 @@ def _read(path: str) -> bytes:
         return f.read()
 
 
-def prove_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
-    if _use_native():
+def prove_with_file_path(
+    r1cs_path, witness_path, proof_json_path, digest: str = "blake2s"
+) -> None:
+    if _use_native() and digest == "blake2s":
         proof = prove_with_witness_native(_read(r1cs_path), _read(witness_path))
     else:
         r1cs = read_r1cs(_read(r1cs_path))
         witness = read_witness(_read(witness_path))
-        proof = prove_with_witness(r1cs, witness)
+        proof = prove_with_witness(r1cs, witness, digest=digest)
     with open(proof_json_path, "w") as f:
         f.write(proof_mod.to_json(proof))
 
 
-def verify_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
+def verify_with_file_path(
+    r1cs_path, witness_path, proof_json_path, digest: str = "blake2s"
+) -> None:
     r1cs = read_r1cs(_read(r1cs_path))
     witness = read_witness(_read(witness_path))
     with open(proof_json_path) as f:
         proof = proof_mod.from_json(f.read())
     n_pub = 1 + r1cs.header.n_public_inputs + r1cs.header.n_public_outputs
     public_wires = witness[:n_pub]
-    assert verify_with_witness(r1cs, public_wires, proof)
+    assert verify_with_witness(r1cs, public_wires, proof, digest=digest)
 
 
-def run_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
+def run_with_file_path(
+    r1cs_path, witness_path, proof_json_path, digest: str = "blake2s"
+) -> None:
     """prove + serialize + verify, like run.rs:590-625.
 
     The reference also dumps the witness JSON to a hardcoded
@@ -306,13 +320,13 @@ def run_with_file_path(r1cs_path, witness_path, proof_json_path) -> None:
         with open(wtns_json_path, "w") as f:
             f.write("[" + ", ".join(str(v) for v in ints) + "]")
 
-    if _use_native():
+    if _use_native() and digest == "blake2s":
         proof = prove_with_witness_native(_read(r1cs_path), _read(witness_path))
     else:
-        proof = prove_with_witness(r1cs, witness)
+        proof = prove_with_witness(r1cs, witness, digest=digest)
     with open(proof_json_path, "w") as f:
         f.write(proof_mod.to_json(proof))
 
     n_pub = 1 + r1cs.header.n_public_inputs + r1cs.header.n_public_outputs
     public_wires = witness[:n_pub]
-    assert verify_with_witness(r1cs, public_wires, proof)
+    assert verify_with_witness(r1cs, public_wires, proof, digest=digest)

@@ -141,6 +141,7 @@ def verify_r1cs_proof(
     n_constraints: int,
     n_wires: int,
     ev_cache: dict | None = None,
+    digest: str = "blake2s",
 ) -> bool:
     """ev_cache: optional per-circuit dict; the 6 public-column LDEs are
     circuit-static (K/F0/F1/F2/idx/perm never depend on the proof), so a
@@ -174,7 +175,8 @@ def verify_r1cs_proof(
     # FRI first (verify.rs:82-85)
     with phase("v_fri"):
         assert fri.verify_low_degree_proof(
-            spec, proof.l_root, params.g2, proof.fri_proof, precision // 4, skips
+            spec, proof.l_root, params.g2, proof.fri_proof, precision // 4,
+            skips, digest
         )
 
     positions = ts.get_pseudorandom_indices(
@@ -183,9 +185,11 @@ def verify_r1cs_proof(
     aug = augmented_positions(positions, params)
 
     with phase("v_branches"):
+        # the m-tree is blake2s under EITHER digest (256-byte leaves exceed
+        # Poseidon's 64-byte cap, poseidon.rs:33); l/FRI trees follow `digest`
         main_leaves = mt.verify_multi_branch(proof.m_root, aug, proof.main_branches)
         l_leaves = mt.verify_multi_branch(
-            proof.l_root, positions, proof.linear_comb_branches
+            proof.l_root, positions, proof.linear_comb_branches, digest
         )
 
     # device LDEs of the public columns, gathered at the spot checks

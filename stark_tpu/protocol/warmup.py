@@ -132,18 +132,116 @@ def warmup_prover(
 
 
 _warmed: set = set()
+_WARM_SALT = 1  # bump when kernel structure changes invalidate old markers
+
+
+def _marker_path(key) -> str:
+    """Completion marker in the persistent-cache dir: its presence means a
+    warmup for this (size, backend, engine, jax version) finished once on
+    this host, so the persistent compile cache holds every executable and
+    auto-warmup can skip the (pure-overhead) re-tracing."""
+    import hashlib
+
+    cache = jax.config.jax_compilation_cache_dir or os.path.expanduser(
+        "~/.cache/jax_stark"
+    )
+    fingerprint = (
+        key,
+        jax.__version__,
+        jax.default_backend(),
+        _WARM_SALT,
+        os.environ.get("STARK_TPU_MXU", "auto"),
+        os.environ.get("STARK_TPU_PALLAS", "auto"),
+        os.environ.get("STARK_TPU_DEVICE_ARITH", "1"),
+    )
+    h = hashlib.sha1(repr(fingerprint).encode()).hexdigest()[:16]
+    return os.path.join(cache, f"stark_warmed_{h}")
 
 
 def maybe_warmup(
     spec, steps, precision, original_steps, n_pub, n_wires: int = 0
 ) -> None:
-    """Opt-in auto-warmup hook for the prover (STARK_TPU_WARMUP=1)."""
-    if os.environ.get("STARK_TPU_WARMUP", "0") == "0":
+    """Auto-warmup hook for the prover.
+
+    STARK_TPU_WARMUP modes:
+      "auto" (default): on an accelerator backend, if this circuit size has
+        no completion marker, compile ALL prover executables from a
+        BACKGROUND daemon thread pool while the first prove proceeds --
+        the prove's sequential stage compiles dedupe against the pool via
+        jit's internal compile locking, so the cold first proof costs
+        roughly the parallel-compile total instead of the serial sum.
+        Skipped on the CPU backend (tests) and once the marker exists.
+      "1": blocking foreground warmup (the old opt-in behavior).
+      "0": off.
+    """
+    mode = os.environ.get("STARK_TPU_WARMUP", "auto")
+    if mode == "0":
         return
     key = (spec, steps, precision, original_steps, n_pub, n_wires)
     if key in _warmed:
         return
     _warmed.add(key)
-    warmup_prover(
-        spec, steps, precision, original_steps, n_pub, n_wires=n_wires
-    )
+
+    if mode == "1":
+        warmup_prover(
+            spec, steps, precision, original_steps, n_pub, n_wires=n_wires
+        )
+        _write_marker(key)
+        return
+
+    if jax.default_backend() == "cpu":
+        return
+    mp = _marker_path(key)
+    if os.path.exists(mp):
+        return
+
+    import threading
+
+    def _bg():
+        # daemon worker threads (ThreadPoolExecutor's atexit join would
+        # keep a one-shot CLI process alive until the warmup finishes)
+        import queue
+
+        try:
+            targets = warmup_targets(
+                spec, steps, precision, original_steps, n_pub, n_wires
+            )
+            q: queue.Queue = queue.Queue()
+            for t in targets:
+                q.put(t)
+
+            def worker():
+                while True:
+                    try:
+                        fn, args = q.get_nowait()
+                    except queue.Empty:
+                        return
+                    try:
+                        fn.lower(*args).compile()
+                    except Exception:
+                        pass
+
+            n_threads = int(os.environ.get("STARK_TPU_WARMUP_THREADS", 0)) or 8
+            ths = [
+                threading.Thread(target=worker, daemon=True)
+                for _ in range(n_threads)
+            ]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            _write_marker(key)
+        except Exception:
+            pass  # warmup is best-effort; the prove compiles what it needs
+
+    threading.Thread(target=_bg, daemon=True, name="stark-warmup").start()
+
+
+def _write_marker(key) -> None:
+    try:
+        mp = _marker_path(key)
+        os.makedirs(os.path.dirname(mp), exist_ok=True)
+        with open(mp, "w") as f:
+            f.write("ok\n")
+    except OSError:
+        pass

@@ -163,3 +163,59 @@ def test_device_tree_release_after_gather():
     for idx, proof in zip(indices, proofs):
         assert proof.leaf == leaves[idx]
     mt.verify_multi_branch(root, indices, proofs)
+
+
+def _oracle_tree_odd(leaves):
+    """SerialMerkleTree with chunks(2) semantics: a lone trailing node
+    hashes ALONE (serial_merkle_tree.rs:62-83)."""
+    layers = [[hashlib.blake2s(l).digest() for l in leaves]]
+    while len(layers[-1]) >= 2:
+        cur = layers[-1]
+        nxt = [
+            hashlib.blake2s(b"".join(cur[i : i + 2])).digest()
+            for i in range(0, len(cur), 2)
+        ]
+        layers.append(nxt)
+    return layers
+
+
+@pytest.mark.parametrize("n", [3, 5, 7, 12, 33])
+def test_merkle_non_power_of_two_widths(n):
+    """serial_merkle_tree.rs:62-83 parity: odd layer widths fold with a
+    lone-tail hash; branches exist only where every level has a sibling
+    (the reference's own gen_proof panics otherwise)."""
+    rng = random.Random(n)
+    leaves = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(n)]
+    tree = mt.commit(leaves)
+    oracle = _oracle_tree_odd(leaves)
+    assert tree.root == oracle[-1][0]
+    assert tree.width == n
+
+    # index 0 always has a sibling at every level when n >= 2
+    proof = tree.gen_proofs([0])[0]
+    t = 0
+    for lvl, node in enumerate(proof.nodes):
+        assert node == oracle[lvl][t ^ 1]
+        t //= 2
+
+    if n % 2:
+        # the lone tail leaf has no sibling: clean error (reference panics)
+        with pytest.raises(ValueError, match="no sibling"):
+            tree.gen_proofs([n - 1])
+
+
+def test_merkle_non_power_of_two_poseidon():
+    from stark_tpu.ops.poseidon import poseidon_digest
+
+    leaves = [bytes([i] * 32) for i in range(5)]
+    tree = mt.commit(leaves, "poseidon")
+    layers = [[poseidon_digest(l) for l in leaves]]
+    while len(layers[-1]) >= 2:
+        cur = layers[-1]
+        layers.append(
+            [
+                poseidon_digest(b"".join(cur[i : i + 2]))
+                for i in range(0, len(cur), 2)
+            ]
+        )
+    assert tree.root == layers[-1][0]
