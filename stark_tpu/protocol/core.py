@@ -11,6 +11,7 @@ and the throughput benchmark; the orchestrated prover in
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -300,10 +301,27 @@ def build_proof_stages(
     pow_scalars = [pow(omega, t, p) for t in range(skips)]
     x_last = pow(g2, precision - skips, p)
     x_last_mont = mm.mont_const(spec, x_last)
-    inv_z_full = jnp.tile(mm.mont_consts(spec, inv_z_scalars), (1, precision // skips))
-    x2s_full = jnp.tile(mm.mont_consts(spec, pow_scalars), (1, precision // skips))
-    zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape))
-    inv_zb3 = mm.multi_inv(spec, zb3)
+    # HBM plan: Z^-1 and x^steps are periodic with period `skips`; below
+    # 2^22 the full tiles feed the fused Pallas kernels, above it the
+    # (L, skips) bases multiply through `kernels.mul_periodic` (saves 1 GB
+    # at precision 2^23) and Zb3^-1 is recomputed per prove instead of
+    # held resident (another 512 MB).
+    _big = precision > int(
+        os.environ.get("STARK_TPU_PERIODIC_TABLES_ABOVE", str(1 << 22))
+    )
+    if _big:
+        inv_z_full = mm.mont_consts(spec, inv_z_scalars)  # (L, skips) base
+        x2s_full = mm.mont_consts(spec, pow_scalars)
+        inv_zb3 = None
+    else:
+        inv_z_full = jnp.tile(
+            mm.mont_consts(spec, inv_z_scalars), (1, precision // skips)
+        )
+        x2s_full = jnp.tile(
+            mm.mont_consts(spec, pow_scalars), (1, precision // skips)
+        )
+        zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape))
+        inv_zb3 = mm.multi_inv(spec, zb3)
 
     use_mxu = (not gx) and nttm.use_mxu_lde(steps, precision)
     if use_mxu:
@@ -462,15 +480,26 @@ def build_proof_stages(
         q_bad = jnp.stack(
             [jnp.any(q[:, ::skips] != 0) for q in (q1, q2, q3)]
         ).astype(jnp.uint32)
-        d1 = kernels.mmul_ev(spec, q1, inv_z_full)
-        d2 = kernels.mmul_ev(spec, q2, inv_z_full)
-        d3 = kernels.mmul_ev(spec, q3, inv_z_full)
+        if inv_z_full.shape[1] != precision:  # periodic base (big domains)
+            mulz = lambda q: kernels.mul_periodic(spec, q, inv_z_full)
+        else:
+            mulz = lambda q: kernels.mmul_ev(spec, q, inv_z_full)
+        d1 = mulz(q1)
+        d2 = mulz(q2)
+        d3 = mulz(q3)
         i2_ev = kernels.horner_eval(spec, i2_mont, xs_full)
         one_big = jnp.broadcast_to(mm.mont_one(spec), evs["s"].shape)
         zb2 = kernels.vanishing_eval(spec, xs_full, pubx_mont)
         b2_ev = kernels.mmul_ev(
             spec, mm.msub(spec, evs["s"], i2_ev), mm.multi_inv(spec, zb2)
         )
+        if inv_zb3 is None:  # big domains: recompute instead of holding
+            inv_zb3 = mm.multi_inv(
+                spec,
+                mm.msub(
+                    spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape)
+                ),
+            )
         b3_ev = kernels.mmul_ev(spec, mm.msub(spec, a_ev, one_big), inv_zb3)
         cols = {
             "p": evs["p"], "a": a_ev, "s": evs["s"],
@@ -563,9 +592,10 @@ def build_proof_stages(
             (a_root_j, (S((1, steps)), S((1, steps)), col)),
             (acc_j, (col, col, col, S((L, 3)))),
             (rest_a_j, (evs_av, ev, S((L, 3)), S((L, n_pub)), S((L, n_pub)),
-                        (ev, ev, ev, ev))),
+                        ((S((L, skips)), S((L, skips)), ev, None)
+                         if _big else (ev, ev, ev, ev)))),
             (m_commit_j, (cols_av,)),
-            (linc_base_j, (S((L, 11)), cols_av, ev)),
+            (linc_base_j, (S((L, 11)), cols_av, S((L, skips)) if _big else ev)),
             (l_commit_j, (ev,)),
             (r_j, (root8,)),
             (k_j, (root8,)),

@@ -44,6 +44,20 @@ def _pkm():
     return pallas_kernels
 
 
+def mul_periodic(spec: FieldSpec, a, base):
+    """a * tile(base, N/k) WITHOUT materializing the (L, N) tile.
+
+    Z(x)^-1 and x^steps are periodic with period EXTENSION_FACTOR on the
+    evaluation domain (prove.rs:128-129,287-291 materialize the full
+    tables); at precision 2^23 the two tiled tables alone cost 1 GB of
+    HBM, so large domains multiply through an (L, N/k, k) x (L, 1, k)
+    broadcast instead -- XLA fuses it like any elementwise op."""
+    L, N = a.shape
+    k = base.shape[1]
+    out = mm.mmul(spec, a.reshape(L, N // k, k), base[:, None, :])
+    return out.reshape(L, N)
+
+
 def mmul_ev(spec: FieldSpec, a, b, policy=None):
     """Elementwise Montgomery product with Pallas dispatch (domain-sized)."""
     if _pk(a.shape[1], policy):
@@ -143,11 +157,18 @@ def linear_combination(
     """L = k0*D1 + k1*D2 + k2*D3 + k3*P + k4*P*x^steps + k5*B2 + k6*B2*x^steps
          + k7*B3 + k8*B3*x^steps + k9*A + k10*S  (prove.rs:293-322).
 
-    k_mont: (L, 11) Montgomery Fiat-Shamir coefficients."""
-    if _pk(s_ev.shape[1], policy):
+    k_mont: (L, 11) Montgomery Fiat-Shamir coefficients. x_to_steps may be
+    the full (L, N) table or its (L, skips) periodic base (large domains;
+    see `mul_periodic`)."""
+    periodic = x_to_steps.shape[1] != s_ev.shape[1]
+    if not periodic and _pk(s_ev.shape[1], policy):
         return _pkm().linear_combination(
             spec, k_mont, x_to_steps, p_ev, a_ev, s_ev, d1, d2, d3, b2, b3
         )
+    if periodic:
+        mulx = lambda col: mul_periodic(spec, col, x_to_steps)
+    else:
+        mulx = lambda col: mm.mmul(spec, col, x_to_steps)
     shape = s_ev.shape
     km = [jnp.broadcast_to(k_mont[:, i : i + 1], shape) for i in range(11)]
     terms = [
@@ -155,11 +176,11 @@ def linear_combination(
         mm.mmul(spec, km[1], d2),
         mm.mmul(spec, km[2], d3),
         mm.mmul(spec, km[3], p_ev),
-        mm.mmul(spec, km[4], mm.mmul(spec, p_ev, x_to_steps)),
+        mm.mmul(spec, km[4], mulx(p_ev)),
         mm.mmul(spec, km[5], b2),
-        mm.mmul(spec, km[6], mm.mmul(spec, b2, x_to_steps)),
+        mm.mmul(spec, km[6], mulx(b2)),
         mm.mmul(spec, km[7], b3),
-        mm.mmul(spec, km[8], mm.mmul(spec, b3, x_to_steps)),
+        mm.mmul(spec, km[8], mulx(b3)),
         mm.mmul(spec, km[9], a_ev),
         mm.mmul(spec, km[10], s_ev),
     ]

@@ -305,6 +305,9 @@ def enqueue_r1cs_proof(
             put_repl(mm.mont_consts(spec, interpolant2)),
             put_repl(mm.mont_consts(spec, pub_xs)),
         )
+        # nothing downstream reads the small-domain traces: dropping the
+        # dict frees ~0.5 GB (at steps 2^20) once the queued columns run
+        del traces
 
     # --- m-tree (prove.rs:235-264) -> k (prove.rs:274-283) -> L -> l-tree ---
     with phase("commits"):

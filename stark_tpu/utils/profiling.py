@@ -1,0 +1,86 @@
+"""XLA cost-analysis aggregation for the prover's compiled stages.
+
+Sums the compiler's own flops / bytes-accessed estimates per prover phase,
+so measured phase walls (from :mod:`stark_tpu.utils.tracing` with
+STARK_TPU_SYNC_PHASES) convert into achieved-FLOP/s and HBM-GB/s roofline
+figures. Used by `bench.py` and `scripts/profile_tpu.py`.
+
+Caveats (print them with any derived number): XLA's "flops" counts vector
+integer lane ops as flops (this prover is u32-limb arithmetic; only the
+MXU engine's bf16 dots are real MACs), and phase walls include remote
+dispatch latency, so derived utilization is a LOWER bound.
+"""
+
+from __future__ import annotations
+
+# v5e public peaks
+PEAK_FLOPS = 197e12  # bf16
+PEAK_HBM = 819e9  # bytes/s
+
+# stage-function name -> prover phase attribution (None = not in a prove)
+PHASE_OF = {
+    "wit_traces_j": "traces",
+    "traces_j": None,  # legacy upload path (native arithmetizer replaces it)
+    "v_cols_j": None,  # verifier-side
+    "a_root_j": "a_tree",
+    "acc_j": "columns",
+    "rest_a_j": "columns",
+    "<lambda>": "columns",  # lde_many_base
+    "m_commit_j": "commits",
+    "linc_base_j": "commits",
+    "l_commit_j": "commits",
+    "r_j": "a_tree",
+    "k_j": "commits",
+    "pos_j": "branches",
+    "_gather_flat_j": "branches",
+    "_commit_j": "fri",
+    "_fold_j": "fri",
+    "_sx_j": "fri",
+    "_ys_j": "fri",
+}
+
+
+def phase_cost_sums(spec, steps, precision, original_steps, n_pub, n_wires):
+    """{phase: (xla_flops, xla_bytes)} summed over every prover stage, plus
+    a per-stage detail list. Compiles hit the persistent cache when warm."""
+    from stark_tpu.protocol.warmup import warmup_targets
+
+    targets = warmup_targets(
+        spec, steps, precision, original_steps, n_pub=n_pub, n_wires=n_wires
+    )
+    sums: dict = {}
+    details = []
+    for fn, args in targets:
+        name = getattr(fn, "__name__", None) or str(fn)[:30]
+        ph = PHASE_OF.get(name, name)
+        if ph is None:
+            continue
+        try:
+            ca = fn.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            flops = float(ca.get("flops", 0.0))
+            byts = float(ca.get("bytes accessed", 0.0))
+        except Exception as e:  # backend may not expose cost analysis
+            details.append((name, ph, None, None, str(e)[:60]))
+            continue
+        f, b = sums.get(ph, (0.0, 0.0))
+        sums[ph] = (f + flops, b + byts)
+        details.append((name, ph, flops, byts, None))
+    return sums, details
+
+
+def phase_walls():
+    """{phase_name: seconds} flattened from the tracing tree's top span."""
+    from stark_tpu.utils import tracing
+
+    phases: dict = {}
+
+    def walk(node):
+        for c in node.children.values():
+            phases[c.name] = phases.get(c.name, 0.0) + c.elapsed
+            walk(c)
+
+    for child in tracing._root.children.values():
+        walk(child)
+    return phases

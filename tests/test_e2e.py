@@ -99,3 +99,27 @@ def test_native_path_proof_identical(tmp_path, monkeypatch):
         b = f.read()
     assert a == b
     runner.verify_with_file_path(r1cs, wtns, out_nat)
+
+
+def test_periodic_tables_path_matches_golden(tmp_path, monkeypatch):
+    """The big-domain HBM plan (periodic Z^-1/x^steps bases via
+    kernels.mul_periodic + recomputed Zb3^-1; active above precision 2^22
+    in production) must be byte-identical to the tiled-table path."""
+    import stark_tpu.protocol.prove as pv
+    from stark_tpu.protocol import runner
+
+    monkeypatch.setenv("STARK_TPU_PERIODIC_TABLES_ABOVE", "1")
+    pv._stages_cached.cache_clear()
+    try:
+        out = str(tmp_path / "compute_periodic.json")
+        runner.prove_with_file_path(
+            os.path.join(FIXTURES, "compute.r1cs"),
+            os.path.join(FIXTURES, "compute.wtns"),
+            out,
+        )
+        with open(out) as f:
+            got = f.read()
+        with open(os.path.join(FIXTURES, "compute_proof_golden.json")) as f:
+            assert got == f.read()
+    finally:
+        pv._stages_cached.cache_clear()
