@@ -398,8 +398,11 @@ def multi_inv(spec: FieldSpec, a):
     z = jnp.all(a == 0, axis=0)[None]
     v = jnp.where(z, one, a)
 
+    # both scans use reverse=False so the nested-jit jaxpr cache shares ONE
+    # trace of prefix_prod per (spec, shape) -- tracing the Pallas scan is
+    # ~10 s of host time at 2^16+, a large share of cold-start lowering
     pre_inc = prefix_prod(spec, v)
-    suf_inc = prefix_prod(spec, v, True)
+    suf_inc = prefix_prod(spec, v[:, ::-1])[:, ::-1]
     total_inv = minv(spec, pre_inc[:, -1:])
     pre_exc = jnp.concatenate([one[:, :1], pre_inc[:, :-1]], axis=1)
     suf_exc = jnp.concatenate([suf_inc[:, 1:], one[:, :1]], axis=1)

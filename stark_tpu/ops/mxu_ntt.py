@@ -366,11 +366,20 @@ def lde_mxu(inv_plan: MxuNttPlan, big_plan, trace):
     return ntt_mxu(big_plan, coeffs)
 
 
+@_jax.jit
+def _lde_mxu_j(inv_plan, big_plan, trace):
+    """Nested-jit wrapper: when traced inside an outer jit, the jaxpr cache
+    keys on (plans-as-pytree avals, trace aval), so N same-shaped columns
+    trace the CRT chain ONCE instead of N times (~30 s of host lowering at
+    9 columns; cold-start cost)."""
+    return lde_mxu(inv_plan, big_plan, trace)
+
+
 def lde_mxu_many(inv_plan: MxuNttPlan, big_plan: MxuNttPlan, traces):
     """LDE a list of (L, steps) columns inside one traced computation (one
     dispatch; XLA schedules the columns sequentially, so peak memory stays
     at the single-column working set)."""
-    return [lde_mxu(inv_plan, big_plan, t) for t in traces]
+    return [_lde_mxu_j(inv_plan, big_plan, t) for t in traces]
 
 
 def lde_mxu_sharded(mesh, inv_plan: MxuNttPlan, big_plan: MxuNttPlan, trace):

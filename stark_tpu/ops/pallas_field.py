@@ -55,24 +55,48 @@ def _carry(cols, keep: int):
     return out, c
 
 
+def _skew_sum(combo, L: int, width: int):
+    """Anti-diagonal sums of per-row columns: out[k] = sum_i combo[i, k-i].
+
+    combo: (L, width, T) with per-row contributions at local column j;
+    returns (L + width - 1, T). The skew is ONE reshape trick: pad rows to
+    W = L + width, flatten, and re-view the first L*(W-1) elements with row
+    stride W-1 -- row i lands shifted right by i, out-of-range reads fall
+    in the zero padding. O(1) traced primitives instead of a per-row
+    python loop (kernel TRACE time is a first-class cold-start cost: the
+    unrolled loop was ~10 s of host lowering per scan/NTT kernel)."""
+    T = combo.shape[2]
+    # Pad rows to W = L + width and re-view the flat buffer with row
+    # stride W-1: element (i, k) of the view sits at flat index
+    # i*(W-1) + k = i*W + (k-i), i.e. padded[i, k-i] -- exactly the skew.
+    # Out-of-range k-i ([width, W) on the right, wrapped reads from the
+    # previous row's tail at columns >= W - L = width on the left) always
+    # land in the zero padding.
+    W = L + width
+    padded = jnp.concatenate(
+        [combo, jnp.zeros((L, W - width, T), jnp.uint32)], axis=1
+    )
+    flat = padded.reshape(L * W, T)
+    skew = jax.lax.slice(flat, (0, 0), (L * (W - 1), T)).reshape(L, W - 1, T)
+    # Mosaic has no unsigned reductions; values < 2^21 are exact in i32
+    return jnp.sum(skew.astype(jnp.int32), axis=0).astype(jnp.uint32)
+
+
 def _bigmul_cols_loop(A, B, L: int):
     """(L, T) x (L, T) -> (2L+1, T) deferred columns (< 2^21 each).
 
-    Static python loop over A's limbs, one whole-plane (L, T) multiply per
-    iteration (full-sublane vector ops; Mosaic has no dynamic_slice on
-    values, and per-scalar-row unrolling is 16x more instructions)."""
+    One broadcast outer product (L, L, T) -- all 16x16-bit limb products
+    exact in u32 -- then lo/hi contributions summed along anti-diagonals
+    with the `_skew_sum` reshape trick."""
     T = A.shape[1]
-    zrow = jnp.zeros((1, T), jnp.uint32)
-    cols = jnp.zeros((2 * L + 1, T), jnp.uint32)
-    for i in range(L):
-        pp = A[i][None, :] * B  # (L, T) exact 16x16 products
-        contrib = jnp.concatenate([pp & MASK, zrow], axis=0) + jnp.concatenate(
-            [zrow, pp >> SHIFT], axis=0
-        )  # (L+1, T)
-        # place contrib at row offset i: i zero rows above, L-i below
-        pads = [zrow] * i + [contrib] + [zrow] * (L - i)  # 2L+1 rows total
-        cols = cols + jnp.concatenate(pads, axis=0)
-    return cols
+    pp = A[:, None, :] * B[None, :, :]  # (L, L, T) exact
+    z1 = jnp.zeros((L, 1, T), jnp.uint32)
+    combo = jnp.concatenate([pp & MASK, z1], axis=1) + jnp.concatenate(
+        [z1, pp >> SHIFT], axis=1
+    )  # (L, L+1, T): lo at j, hi at j+1, each < 2^17
+    cols = _skew_sum(combo, L, L + 1)  # (2L, T), each < 2^21
+    # callers size the accumulator at 2L+1 rows (carry headroom)
+    return jnp.concatenate([cols, jnp.zeros((1, T), jnp.uint32)], axis=0)
 
 
 def _carry_arr(cols, keep: int):
@@ -251,34 +275,28 @@ def _butterfly_pair(spec, kind, X0, X1, TW):
 
 def _mul_cols_range(A_rows, B_rows, lo_col: int, hi_col: int):
     """Deferred columns lo_col..hi_col of the 2L-limb product of two
-    16-bit-canonical row lists; only the needed 16x16 products are formed."""
+    16-bit-canonical row lists.
+
+    One outer product + `_skew_sum` (O(1) traced primitives) instead of the
+    per-(i, j) python product dict (~768 traced ops per Shoup multiply --
+    the dominant cold-start lowering cost of the butterfly NTT kernels).
+    Forms all L^2 limb products even for partial ranges; the butterfly
+    stages are HBM-bound, so the extra VPU multiplies ride in their
+    shadow."""
     Lr = len(A_rows)
-    prods = {}
-
-    def pp(i, j):
-        if (i, j) not in prods:
-            v = A_rows[i] * B_rows[j]
-            prods[(i, j)] = (v & MASK, v >> SHIFT)
-        return prods[(i, j)]
-
-    cols = []
-    for k in range(lo_col, hi_col + 1):
-        terms = []
-        for i in range(Lr):
-            j = k - i
-            if 0 <= j < Lr:
-                terms.append(pp(i, j)[0])
-            j2 = k - 1 - i
-            if 0 <= j2 < Lr:
-                terms.append(pp(i, j2)[1])
-        if not terms:
-            cols.append(jnp.zeros_like(A_rows[0]))
-            continue
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        cols.append(acc)
-    return cols
+    T = A_rows[0].shape[0]
+    Aa = jnp.stack(A_rows, axis=0)
+    Ba = jnp.stack(B_rows, axis=0)
+    pp = Aa[:, None, :] * Ba[None, :, :]  # (Lr, Lr, T) exact
+    z1 = jnp.zeros((Lr, 1, T), jnp.uint32)
+    combo = jnp.concatenate([pp & MASK, z1], axis=1) + jnp.concatenate(
+        [z1, pp >> SHIFT], axis=1
+    )
+    cols = _skew_sum(combo, Lr, Lr + 1)  # (2Lr, T): columns 0..2Lr-1
+    zero = jnp.zeros((T,), jnp.uint32)
+    return [
+        cols[k] if k < 2 * Lr else zero for k in range(lo_col, hi_col + 1)
+    ]
 
 
 def _carry_list(cols):

@@ -577,16 +577,21 @@ def build_proof_stages(
         cols_av = {n: ev for n in _COLS}
         root8 = S((8,))
         t = [
-            (traces_j, (S((3 * steps, 2 * L), u8), S((steps,), u8),
-                        S((steps,), u8), S((steps,)), S((steps,)))),
             (v_cols_j, (S((steps, 2 * L), u8), S((steps,), u8),
                         S((steps,), u8), S((steps,)), S((steps,)))),
         ]
         if n_wires:
+            # device arithmetization active: the legacy traces_j upload path
+            # is never called, so don't spend cold-start time compiling it
             t.append(
                 (wit_traces_j, (S((steps, 2 * L), u8), S((n_wires, 2 * L), u8),
                                 S((steps,)), S((steps,), u8), S((steps,), u8),
                                 S((steps,)), S((steps,))))
+            )
+        else:
+            t.append(
+                (traces_j, (S((3 * steps, 2 * L), u8), S((steps,), u8),
+                            S((steps,), u8), S((steps,)), S((steps,))))
             )
         t += [
             (a_root_j, (S((1, steps)), S((1, steps)), col)),

@@ -120,7 +120,7 @@ def warmup_prover(
         # remote/XLA compiles are IO/out-of-process-bound, NOT host-CPU
         # bound -- do not tie this to os.cpu_count() (single-vCPU TPU
         # frontends would serialize the whole warmup)
-        threads = int(os.environ.get("STARK_TPU_WARMUP_THREADS", 0)) or 8
+        threads = int(os.environ.get("STARK_TPU_WARMUP_THREADS", 0)) or 16
 
     def compile_one(ta):
         fn, args = ta
@@ -221,7 +221,7 @@ def maybe_warmup(
                     except Exception:
                         pass
 
-            n_threads = int(os.environ.get("STARK_TPU_WARMUP_THREADS", 0)) or 8
+            n_threads = int(os.environ.get("STARK_TPU_WARMUP_THREADS", 0)) or 16
             ths = [
                 threading.Thread(target=worker, daemon=True)
                 for _ in range(n_threads)

@@ -81,6 +81,7 @@ def phase_walls():
             phases[c.name] = phases.get(c.name, 0.0) + c.elapsed
             walk(c)
 
-    for child in tracing._root.children.values():
-        walk(child)
+    # the prover's phases sit directly under the root (there is no
+    # enclosing "prove" span), so walk from the root itself
+    walk(tracing._root)
     return phases
