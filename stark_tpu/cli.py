@@ -30,12 +30,56 @@ def _enable_persistent_cache() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def _cache_archive(cmd: str, archive: str) -> int:
+    """Pack/unpack the two on-disk caches that make cold start expensive:
+    the persistent XLA compile cache (executables; backend-build keyed) and
+    the CRT/MXU NTT plan tables (backend-independent host math)."""
+    import tarfile
+
+    cache = os.environ.get(
+        "STARK_TPU_CACHE", os.path.expanduser("~/.cache/jax_stark")
+    )
+    plans = os.path.expanduser("~/.cache/stark_tpu_plans")
+    if cmd == "cache-pack":
+        n = 0
+        # level 1: the payload is mostly already-compressed executables and
+        # float tables; level 9 costs minutes of 1-vCPU time for ~5% size
+        with tarfile.open(archive, "w:gz", compresslevel=1) as tf:
+            for base, arc in ((cache, "jax_stark"), (plans, "stark_tpu_plans")):
+                if not os.path.isdir(base):
+                    continue
+                for name in sorted(os.listdir(base)):
+                    tf.add(os.path.join(base, name), f"{arc}/{name}")
+                    n += 1
+        print(f"packed {n} cache entries -> {archive}")
+        return 0
+    with tarfile.open(archive, "r:gz") as tf:
+        for member in tf.getmembers():
+            top, _, rest = member.name.partition("/")
+            if not rest or rest != os.path.basename(rest):
+                continue  # refuse paths that escape the cache dirs
+            dest = cache if top == "jax_stark" else (
+                plans if top == "stark_tpu_plans" else None
+            )
+            if dest is None or not member.isfile():
+                continue
+            os.makedirs(dest, exist_ok=True)
+            src = tf.extractfile(member)
+            with open(os.path.join(dest, rest), "wb") as out:
+                out.write(src.read())
+    print(f"restored cache entries from {archive}")
+    return 0
+
+
 def main(argv=None) -> int:
     _enable_persistent_cache()
     from stark_tpu.protocol import runner
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    if argv and argv[0] not in ("prove", "verify", "run", "warmup", "serve"):
+    if argv and argv[0] not in (
+        "prove", "verify", "run", "warmup", "serve", "cache-pack",
+        "cache-unpack",
+    ):
         argv = ["run"] + argv  # bare 3-arg form, like `cargo run a b c`
 
     parser = argparse.ArgumentParser(prog="stark-tpu")
@@ -62,7 +106,21 @@ def main(argv=None) -> int:
         help="long-lived proving worker: line-delimited JSON-RPC on stdio "
         "(warm caches across calls; used by packages/node)",
     )
+    cp = sub.add_parser(
+        "cache-pack",
+        help="tar the persistent XLA compile cache + NTT plan tables into "
+        "one archive -- the TPU-native analogue of shipping prebuilt "
+        "binaries (the Rust reference compiles AOT; XLA compiles JIT). "
+        "Restore with cache-unpack on a host with the same backend build "
+        "for a zero-compile cold start.",
+    )
+    cp.add_argument("archive", help="output .tar.gz path")
+    cu = sub.add_parser("cache-unpack")
+    cu.add_argument("archive", help=".tar.gz from cache-pack")
     args = parser.parse_args(argv)
+
+    if args.cmd in ("cache-pack", "cache-unpack"):
+        return _cache_archive(args.cmd, args.archive)
 
     if args.cmd == "serve":
         from stark_tpu.serve import serve

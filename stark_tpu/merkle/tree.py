@@ -157,12 +157,20 @@ class DeviceMerkleTree:
     committing dominate the prover) and, at proof time, the few hundred
     queried leaves/siblings via device gathers."""
 
-    def __init__(self, leaf_words, leaf_bytes: int, layers):
+    def __init__(self, leaf_words, leaf_bytes: int, layers,
+                 leaf_word_count: int | None = None):
+        """leaf_words may be None (big-domain streamed m-tree: leaves are
+        never materialized and branch leaf words are packed on the fly by
+        `core.m_gather_j`); pass leaf_word_count so `_proofs_from_flat`
+        still knows the flat layout."""
         self.leaf_words = leaf_words  # (W, N) uint32 LE words of the leaves
         self.leaf_bytes = leaf_bytes
         self.layers = layers  # device (8, n_i) digest words, n_i halving
         self._root = None
-        self._W = int(leaf_words.shape[0])
+        self._W = (
+            int(leaf_words.shape[0]) if leaf_words is not None
+            else int(leaf_word_count)
+        )
 
     def release_device(self):
         """Drop the device arrays once every gather against this tree has

@@ -517,10 +517,60 @@ def build_proof_stages(
         words = _words_best(spec, [cols[n] for n in _COLS], gx)
         return words, mt._build_layers(words, 256, gx)
 
-    # linc is the LAST consumer of the 8 m-tree columns (m_commit executes
-    # before it on the stream); donating them frees ~4.3 GB at 2^23 as
-    # soon as L is computed instead of at python del time
-    @functools.partial(jax.jit, donate_argnums=(1,) if _donate else ())
+    @jax.jit
+    def m_commit_stream_j(cols):
+        """Big-domain m-tree commit: first-layer digests are hashed from
+        the columns in SEQUENTIAL chunks (lax.map bounds the transient
+        leaf-word buffer to one chunk) and the (64, N) leaf words are never
+        materialized -- at precision 2^23 that buffer alone is 2.1 GB and
+        its packing concat another 2.1 GB, which is what pushed the full
+        chain over the chip's ~15 GB usable HBM. Branch leaves are instead
+        re-packed from gathered column values (`m_gather_j`), the same
+        recompute-at-proof-time economy as the reference's double
+        `gen_proofs` call (`prove.rs:331,348`). Returns layers only."""
+        n_chunks = 8
+        chunk = precision // n_chunks
+
+        def body(i):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk, 1)
+            words = _words_best(spec, [sl(cols[c]) for c in _COLS], gx)
+            return b2.blake2s_words_best(words, 256, gx)  # (8, chunk)
+
+        digs = jax.lax.map(body, jnp.arange(n_chunks))  # (C, 8, chunk)
+        h = jnp.moveaxis(digs, 0, 1).reshape(8, precision)
+        layers = [h]
+        while h.shape[1] > 1:
+            m = h.shape[1] // 2
+            pair = h.reshape(8, m, 2)
+            msg = jnp.concatenate([pair[:, :, 0], pair[:, :, 1]], axis=0)
+            h = b2.blake2s_words_best(msg, 64, gx)
+            layers.append(h)
+        return tuple(layers)
+
+    @jax.jit
+    def m_gather_j(cols, layers, aug_idx):
+        """Branch gather for the streamed m-tree: leaf words are packed
+        on the fly from the ~320 gathered column values; sibling digests
+        gather from the retained layers. Output layout matches
+        `mt._gather_flat_j` (leaf words then 8-row nodes per level)."""
+        idx = aug_idx.astype(jnp.int32)
+        vals = [cols[c][:, idx] for c in _COLS]
+        words = _words_best(spec, vals, gx)  # (64, k): XLA path at k=320
+        gathered = [words]
+        t = idx
+        for layer in layers[:-1]:
+            gathered.append(layer[:, t ^ 1])
+            t = t // 2
+        return jnp.concatenate(gathered, axis=0)
+
+    # linc is the LAST consumer of the 8 m-tree columns on SMALL domains
+    # (m_commit executes before it on the stream); donating them frees
+    # ~4.3 GB as soon as L is computed instead of at python del time. On
+    # big domains the columns must SURVIVE linc (m_gather_j re-packs branch
+    # leaves from them), so they are not donated there.
+    @functools.partial(
+        jax.jit, donate_argnums=(1,) if (_donate and not _big) else ()
+    )
     def linc_base_j(k_mont, cols, x2s_full):
         return kernels.linear_combination(
             spec, k_mont, x2s_full, *[cols[n] for n in _COLS], policy=gx
@@ -599,13 +649,25 @@ def build_proof_stages(
             (rest_a_j, (evs_av, ev, S((L, 3)), S((L, n_pub)), S((L, n_pub)),
                         ((S((L, skips)), S((L, skips)), ev, None)
                          if _big else (ev, ev, ev, ev)))),
-            (m_commit_j, (cols_av,)),
             (linc_base_j, (S((L, 11)), cols_av, S((L, skips)) if _big else ev)),
             (l_commit_j, (ev,)),
             (r_j, (root8,)),
             (k_j, (root8,)),
             (pos_j, (root8,)),
         ]
+        if _big:
+            n_layers = precision.bit_length()  # widths N..1
+            layer_avals = tuple(
+                S((8, precision >> k)) for k in range(n_layers)
+            )
+            t.append((m_commit_stream_j, (cols_av,)))
+            t.append(
+                (m_gather_j,
+                 (cols_av, layer_avals,
+                  S((4 * SPOT_CHECK_SECURITY_FACTOR,), jnp.int32)))
+            )
+        else:
+            t.append((m_commit_j, (cols_av,)))
         if use_mxu:
             if precision > _MXU_FUSE_MAX_PRECISION:
                 t.append((lde_many_base, ([col], inv_plan, big_plan)))
@@ -680,7 +742,10 @@ def build_proof_stages(
         "put_rows": put_rows,
         "put_repl": put_repl,
         "policy": gx,
+        "big": _big,
         "m_commit": m_commit_j,
+        "m_commit_stream": m_commit_stream_j,
+        "m_gather": m_gather_j,
         "linc": linc_j,
         "l_commit": l_commit_j,
         "r": r_j,

@@ -310,22 +310,36 @@ def enqueue_r1cs_proof(
         del traces
 
     # --- m-tree (prove.rs:235-264) -> k (prove.rs:274-283) -> L -> l-tree ---
+    big = bool(stages.get("big"))
     with phase("commits"):
-        m_words, m_layers = stages["m_commit"](cols)
-        m_tree = mt.DeviceMerkleTree(m_words, 256, list(m_layers))
+        if big:
+            # streamed commit: no (64, N) leaf-word buffer (2.1 GB at
+            # 2^23); branch leaves are re-packed from the columns below
+            m_layers = stages["m_commit_stream"](cols)
+            m_tree = mt.DeviceMerkleTree(
+                None, 256, list(m_layers), leaf_word_count=64
+            )
+        else:
+            m_words, m_layers = stages["m_commit"](cols)
+            m_tree = mt.DeviceMerkleTree(m_words, 256, list(m_layers))
         m_root_w = m_layers[-1][:, 0]
         k_mont = stages["k"](m_root_w)
         l_ev = stages["linc"](k_mont, cols)
         l_words, l_layers = stages["l_commit"](l_ev)
         l_tree = mt.DeviceMerkleTree(l_words, 32, list(l_layers))
         l_root_w = l_layers[-1][:, 0]
-        del cols  # the m-tree leaves/layers carry everything from here
+        if not big:
+            del cols  # the m-tree leaves/layers carry everything from here
 
     # --- spot checks (prove.rs:337-362) with device-derived positions ---
     with phase("branches"):
         positions_d, aug_d = stages["pos"](l_root_w)
         l_flat = l_tree._gather_device(positions_d)
-        m_flat = m_tree._gather_device(aug_d)
+        if big:
+            m_flat = stages["m_gather"](cols, tuple(m_layers), aug_d)
+            del cols  # the queued gather holds its own reference
+        else:
+            m_flat = m_tree._gather_device(aug_d)
 
     # --- FRI (prove.rs:367); the l_tree IS FRI round 0's value tree ---
     with phase("fri"):

@@ -92,11 +92,15 @@ def warmup_targets(
     n_pos = SPOT_CHECK_SECURITY_FACTOR
     targets = list(stages["warm_targets"](n_pub, n_wires))
     # spot-check branch gathers: m-tree (256-byte leaves -> 64 words,
-    # 4 companions per position) and l-tree (32-byte leaves -> 16 words)
-    targets.append(
-        (_gather_flat_j,
-         (S((64, precision)), _layer_avals(precision), S((4 * n_pos,), jnp.int32)))
-    )
+    # 4 companions per position; big domains use the streamed m-tree's
+    # own m_gather_j, already in warm_targets) and l-tree (32-byte
+    # leaves -> 16 words)
+    if not stages.get("big"):
+        targets.append(
+            (_gather_flat_j,
+             (S((64, precision)), _layer_avals(precision),
+              S((4 * n_pos,), jnp.int32)))
+        )
     targets.append(
         (_gather_flat_j,
          (S((16, precision)), _layer_avals(precision), S((n_pos,), jnp.int32)))

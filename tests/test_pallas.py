@@ -83,3 +83,4 @@ def test_pallas_stage_partition(monkeypatch):
         got = np.asarray(nttm._run_pallas(spec, a, plan))
         want = np.asarray(core(spec, a, w_half))
         assert np.array_equal(got, want), direction
+
