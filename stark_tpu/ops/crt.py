@@ -539,9 +539,43 @@ def _bdot(a, b):
 def crt_matmul(basis: CrtBasis, plan: CrtMatmulPlan, x_limbs, pre=None):
     """(W @ x) mod p. x_limbs: (16, K, B) u32 canonical 16-bit limb planes;
     pre: optional (P+1, K, B) u32 residue table multiplied in pointwise
-    before the matmul (implied integer < p). Returns (16, Kout, B) u32."""
+    before the matmul (implied integer < p). Returns (16, Kout, B) u32.
+
+    The batch axis is per-lane independent (only K is contracted), so when
+    the four f32 chunk-product buffers would exceed STARK_TPU_CRT_TEMP_BYTES
+    (default 2 GB) the call runs as a lax.map over contiguous B-chunks --
+    bounding the execution-time temp arena that, at precision 2^23, pushed
+    one column's LDE past the chip's ~15 GB usable HBM."""
+    import os
+
     L, K, B = x_limbs.shape
     assert K == plan.k
+    P1 = len(basis.qs_host)
+    budget = int(os.environ.get("STARK_TPU_CRT_TEMP_BYTES", 2 << 30))
+    est = 4 * P1 * plan.kout * B * 4  # the four bdot f32 outputs
+    if est > budget and B > 1:
+        nc = 1
+        while est // nc > budget and nc * 2 <= B and B % (nc * 2) == 0:
+            nc *= 2
+        if nc > 1:
+            Bc = B // nc
+
+            def body(c):
+                xs = jax.lax.dynamic_slice_in_dim(x_limbs, c * Bc, Bc, 2)
+                ps = (
+                    None
+                    if pre is None
+                    else jax.lax.dynamic_slice_in_dim(pre, c * Bc, Bc, 2)
+                )
+                return _crt_matmul_body(basis, plan, xs, ps)
+
+            out = jax.lax.map(body, jnp.arange(nc))  # (nc, L, kout, Bc)
+            return jnp.moveaxis(out, 0, 2).reshape(L, plan.kout, B)
+    return _crt_matmul_body(basis, plan, x_limbs, pre)
+
+
+def _crt_matmul_body(basis: CrtBasis, plan: CrtMatmulPlan, x_limbs, pre=None):
+    L, K, B = x_limbs.shape
     r = basis.reduce_in(x_limbs.reshape(L, K * B)).reshape(-1, K, B)
     if pre is not None:
         prod = r * pre  # < 2^28
