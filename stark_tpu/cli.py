@@ -39,7 +39,9 @@ def _cache_archive(cmd: str, archive: str) -> int:
     cache = os.environ.get(
         "STARK_TPU_CACHE", os.path.expanduser("~/.cache/jax_stark")
     )
-    plans = os.path.expanduser("~/.cache/stark_tpu_plans")
+    plans = os.path.expanduser(
+        os.environ.get("STARK_TPU_PLANS_CACHE", "~/.cache/stark_tpu_plans")
+    )
     if cmd == "cache-pack":
         n = 0
         # level 1: the payload is mostly already-compressed executables and
@@ -72,10 +74,13 @@ def _cache_archive(cmd: str, archive: str) -> int:
 
 
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in ("cache-pack", "cache-unpack") and len(argv) == 2:
+        # pure tar work: no jax import, no global jax config mutation
+        return _cache_archive(argv[0], argv[1])
     _enable_persistent_cache()
     from stark_tpu.protocol import runner
 
-    argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] not in (
         "prove", "verify", "run", "warmup", "serve", "cache-pack",
         "cache-unpack",

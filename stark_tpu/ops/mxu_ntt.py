@@ -264,7 +264,9 @@ def _plan_cache_path(spec, root, n, n1, n2, scale, nz1):
 
     key = f"v1:{spec.p}:{root}:{n}:{n1}:{n2}:{scale}:{nz1}:{_tw_dtype().__name__}"
     h = hashlib.sha256(key.encode()).hexdigest()[:24]
-    d = os.path.expanduser("~/.cache/stark_tpu_plans")
+    d = os.path.expanduser(
+        os.environ.get("STARK_TPU_PLANS_CACHE", "~/.cache/stark_tpu_plans")
+    )
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, f"ntt_{h}.npz")
 

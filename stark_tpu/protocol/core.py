@@ -463,7 +463,12 @@ def build_proof_stages(
     # 5 new outputs (d1/d2/d3/b2/b3) -- aliasing them halves this stage's
     # execution-time HBM peak (the 2^23 OOM point); s/p/a pass through.
     # CPU jit ignores donation (and warns), so only donate on accelerators.
-    _donate = jax.default_backend() != "cpu"
+    # STARK_TPU_DONATE=0 disables donation (per-stage profiling re-invokes
+    # stages on the same buffers, which donation would delete).
+    _donate = (
+        jax.default_backend() != "cpu"
+        and os.environ.get("STARK_TPU_DONATE", "1") != "0"
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1) if _donate else ())
     def rest_a_j(evs, a_ev, r_mont, i2_mont, pubx_mont, dom):

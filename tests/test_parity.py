@@ -76,7 +76,15 @@ def test_verifier_accepts_golden():
     [
         ("bits", "bits_proof_golden.json"),
         ("pedersen_test", "pedersen_proof_golden.json"),
-        ("poseidon3_test", "poseidon3_proof_golden.json"),
+        # poseidon3 is the cheapest multi-round-FRI golden (~3 min on a
+        # 1-vCPU host), so it doubles as the `midslow` tier: re-prove
+        # multi-round FRI byte parity every round without the 1,460 s
+        # bits run (pytest -m midslow)
+        pytest.param(
+            "poseidon3_test",
+            "poseidon3_proof_golden.json",
+            marks=pytest.mark.midslow,
+        ),
     ],
 )
 def test_prover_matches_golden_all_fixtures(tmp_path, name, golden):
