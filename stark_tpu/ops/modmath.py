@@ -244,6 +244,28 @@ def mont_consts(spec: FieldSpec, xs):
     )
 
 
+def shoup_consts(spec: FieldSpec, xs):
+    """Host ints -> the Shoup constant-multiplier pair: (L, N) limb planes
+    of the PLAIN values w and their companions floor(w * 2^r_bits / p).
+    w * (xR) = (w*x)R keeps Montgomery data in Montgomery form, so plain
+    constants compose with mmul-domain arrays (see pallas_field's Shoup
+    twiddle path). The companions live in [0, 2^r_bits) and must NOT be
+    reduced mod p (ints_to_limbs_np would), so limbs are built raw here."""
+    R = 1 << spec.r_bits
+    L = spec.num_limbs
+    plain = [int(x) % spec.p for x in xs]
+    comps = [v * R // spec.p for v in plain]
+
+    def raw_limbs(vals):
+        out = np.zeros((L, len(vals)), dtype=np.uint32)
+        for n, v in enumerate(vals):
+            for i in range(L):
+                out[i, n] = (v >> (LIMB_BITS * i)) & ((1 << LIMB_BITS) - 1)
+        return out
+
+    return jnp.asarray(raw_limbs(plain)), jnp.asarray(raw_limbs(comps))
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def to_mont(spec: FieldSpec, a):
     r2 = jnp.broadcast_to(

@@ -55,48 +55,24 @@ def _carry(cols, keep: int):
     return out, c
 
 
-def _skew_sum(combo, L: int, width: int):
-    """Anti-diagonal sums of per-row columns: out[k] = sum_i combo[i, k-i].
-
-    combo: (L, width, T) with per-row contributions at local column j;
-    returns (L + width - 1, T). The skew is ONE reshape trick: pad rows to
-    W = L + width, flatten, and re-view the first L*(W-1) elements with row
-    stride W-1 -- row i lands shifted right by i, out-of-range reads fall
-    in the zero padding. O(1) traced primitives instead of a per-row
-    python loop (kernel TRACE time is a first-class cold-start cost: the
-    unrolled loop was ~10 s of host lowering per scan/NTT kernel)."""
-    T = combo.shape[2]
-    # Pad rows to W = L + width and re-view the flat buffer with row
-    # stride W-1: element (i, k) of the view sits at flat index
-    # i*(W-1) + k = i*W + (k-i), i.e. padded[i, k-i] -- exactly the skew.
-    # Out-of-range k-i ([width, W) on the right, wrapped reads from the
-    # previous row's tail at columns >= W - L = width on the left) always
-    # land in the zero padding.
-    W = L + width
-    padded = jnp.concatenate(
-        [combo, jnp.zeros((L, W - width, T), jnp.uint32)], axis=1
-    )
-    flat = padded.reshape(L * W, T)
-    skew = jax.lax.slice(flat, (0, 0), (L * (W - 1), T)).reshape(L, W - 1, T)
-    # Mosaic has no unsigned reductions; values < 2^21 are exact in i32
-    return jnp.sum(skew.astype(jnp.int32), axis=0).astype(jnp.uint32)
-
-
 def _bigmul_cols_loop(A, B, L: int):
     """(L, T) x (L, T) -> (2L+1, T) deferred columns (< 2^21 each).
 
-    One broadcast outer product (L, L, T) -- all 16x16-bit limb products
-    exact in u32 -- then lo/hi contributions summed along anti-diagonals
-    with the `_skew_sum` reshape trick."""
+    Static python loop over A's limbs, one whole-plane (L, T) multiply per
+    iteration (full-sublane vector ops; Mosaic has no dynamic_slice on
+    values, and per-scalar-row unrolling is 16x more instructions)."""
     T = A.shape[1]
-    pp = A[:, None, :] * B[None, :, :]  # (L, L, T) exact
-    z1 = jnp.zeros((L, 1, T), jnp.uint32)
-    combo = jnp.concatenate([pp & MASK, z1], axis=1) + jnp.concatenate(
-        [z1, pp >> SHIFT], axis=1
-    )  # (L, L+1, T): lo at j, hi at j+1, each < 2^17
-    cols = _skew_sum(combo, L, L + 1)  # (2L, T), each < 2^21
-    # callers size the accumulator at 2L+1 rows (carry headroom)
-    return jnp.concatenate([cols, jnp.zeros((1, T), jnp.uint32)], axis=0)
+    zrow = jnp.zeros((1, T), jnp.uint32)
+    cols = jnp.zeros((2 * L + 1, T), jnp.uint32)
+    for i in range(L):
+        pp = A[i][None, :] * B  # (L, T) exact 16x16 products
+        contrib = jnp.concatenate([pp & MASK, zrow], axis=0) + jnp.concatenate(
+            [zrow, pp >> SHIFT], axis=0
+        )  # (L+1, T)
+        # place contrib at row offset i: i zero rows above, L-i below
+        pads = [zrow] * i + [contrib] + [zrow] * (L - i)  # 2L+1 rows total
+        cols = cols + jnp.concatenate(pads, axis=0)
+    return cols
 
 
 def _carry_arr(cols, keep: int):
@@ -275,28 +251,34 @@ def _butterfly_pair(spec, kind, X0, X1, TW):
 
 def _mul_cols_range(A_rows, B_rows, lo_col: int, hi_col: int):
     """Deferred columns lo_col..hi_col of the 2L-limb product of two
-    16-bit-canonical row lists.
-
-    One outer product + `_skew_sum` (O(1) traced primitives) instead of the
-    per-(i, j) python product dict (~768 traced ops per Shoup multiply --
-    the dominant cold-start lowering cost of the butterfly NTT kernels).
-    Forms all L^2 limb products even for partial ranges; the butterfly
-    stages are HBM-bound, so the extra VPU multiplies ride in their
-    shadow."""
+    16-bit-canonical row lists; only the needed 16x16 products are formed."""
     Lr = len(A_rows)
-    T = A_rows[0].shape[0]
-    Aa = jnp.stack(A_rows, axis=0)
-    Ba = jnp.stack(B_rows, axis=0)
-    pp = Aa[:, None, :] * Ba[None, :, :]  # (Lr, Lr, T) exact
-    z1 = jnp.zeros((Lr, 1, T), jnp.uint32)
-    combo = jnp.concatenate([pp & MASK, z1], axis=1) + jnp.concatenate(
-        [z1, pp >> SHIFT], axis=1
-    )
-    cols = _skew_sum(combo, Lr, Lr + 1)  # (2Lr, T): columns 0..2Lr-1
-    zero = jnp.zeros((T,), jnp.uint32)
-    return [
-        cols[k] if k < 2 * Lr else zero for k in range(lo_col, hi_col + 1)
-    ]
+    prods = {}
+
+    def pp(i, j):
+        if (i, j) not in prods:
+            v = A_rows[i] * B_rows[j]
+            prods[(i, j)] = (v & MASK, v >> SHIFT)
+        return prods[(i, j)]
+
+    cols = []
+    for k in range(lo_col, hi_col + 1):
+        terms = []
+        for i in range(Lr):
+            j = k - i
+            if 0 <= j < Lr:
+                terms.append(pp(i, j)[0])
+            j2 = k - 1 - i
+            if 0 <= j2 < Lr:
+                terms.append(pp(i, j2)[1])
+        if not terms:
+            cols.append(jnp.zeros_like(A_rows[0]))
+            continue
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        cols.append(acc)
+    return cols
 
 
 def _carry_list(cols):
@@ -321,16 +303,67 @@ def _cond_sub_rows(rows, mod_limbs):
     return [jnp.where(ge, diff[i], rows[i]) for i in range(Lr)]
 
 
+def _mul_cols_range_planes(A, B, lo_col: int, hi_col: int):
+    """Deferred columns lo_col..hi_col of the 2L-limb product of (L, T)
+    planes A, B — the plane-parallel twin of `_mul_cols_range`: one sliced
+    whole-plane multiply per A-limb (full-sublane vector ops) forming only
+    the (i, j) pairs that can land in the range. Returns an
+    (hi_col-lo_col+1, T) array; contributions beyond hi_col are dropped
+    (mod-R truncation, same as the row version)."""
+    L, T = A.shape
+    ncols = hi_col - lo_col + 1
+    zrow = jnp.zeros((1, T), jnp.uint32)
+    acc = jnp.zeros((ncols + 1, T), jnp.uint32)  # +1 transient spill row
+    for i in range(L):
+        # lo parts land at column i+j, hi parts at i+j+1: j in
+        # [lo_col-1-i, hi_col-i] can contribute
+        j0 = max(0, lo_col - 1 - i)
+        j1 = min(L - 1, hi_col - i)
+        if j0 > j1:
+            continue
+        pp = A[i][None, :] * jax.lax.slice_in_dim(B, j0, j1 + 1, axis=0)
+        contrib = jnp.concatenate([pp & MASK, zrow], axis=0) + jnp.concatenate(
+            [zrow, pp >> SHIFT], axis=0
+        )  # rows for columns i+j0 .. i+j1+1
+        start = i + j0 - lo_col  # may be -1 (lo part just below range)
+        crop = max(0, -start)
+        end = min(start + contrib.shape[0], ncols + 1)  # exclusive
+        contrib = contrib[crop : crop + (end - max(start, 0))]
+        pads = []
+        if max(start, 0) > 0:
+            pads.append(jnp.zeros((max(start, 0), T), jnp.uint32))
+        pads.append(contrib)
+        tail = (ncols + 1) - max(start, 0) - contrib.shape[0]
+        if tail > 0:
+            pads.append(jnp.zeros((tail, T), jnp.uint32))
+        acc = acc + jnp.concatenate(pads, axis=0)
+    return acc[:ncols]
+
+
 def _shoup_mul_rows(spec: FieldSpec, W, Wp, X):
     """W, Wp: constant-twiddle row lists (plain w and floor(w*R/p)); X:
-    data rows in [0, 2p). Returns rows of (w*x mod p) in [0, 2p)."""
+    data rows in [0, 2p). Returns rows of (w*x mod p) in [0, 2p).
+
+    ~1.6 full-plane limb products (partial ranges only) vs Montgomery's 3;
+    products run as whole-plane ops (`_mul_cols_range_planes`) — the
+    per-(i, j) row version packs (T,) vectors at 1/8 sublane occupancy on
+    the VPU and measured ~2x slower in the fused protocol kernels."""
     Lr = spec.num_limbs
-    qhat = _carry_list(_mul_cols_range(Wp, X, Lr - 2, 2 * Lr))[2 : 2 + Lr]
-    wx = _carry_list(_mul_cols_range(W, X, 0, Lr - 1))
-    pconst = [
-        jnp.full(X[0].shape, np.uint32(c), jnp.uint32) for c in spec.p_limbs
-    ]
-    qp = _carry_list(_mul_cols_range(qhat, pconst, 0, Lr - 1))
+    Wpa = jnp.stack(Wp, axis=0)
+    Wa = jnp.stack(W, axis=0)
+    Xa = jnp.stack(X, axis=0)
+    qcols = _mul_cols_range_planes(Wpa, Xa, Lr - 2, 2 * Lr)
+    q, _ = _carry_arr(qcols, qcols.shape[0])
+    qhat = jnp.stack(q[2 : 2 + Lr], axis=0)
+    wx, _ = _carry_arr(_mul_cols_range_planes(Wa, Xa, 0, Lr - 1), Lr)
+    pconst = jnp.stack(
+        [
+            jnp.full(X[0].shape, np.uint32(c), jnp.uint32)
+            for c in spec.p_limbs
+        ],
+        axis=0,
+    )
+    qp, _ = _carry_arr(_mul_cols_range_planes(qhat, pconst, 0, Lr - 1), Lr)
     r = []
     c = jnp.ones_like(wx[0])
     for i in range(Lr):

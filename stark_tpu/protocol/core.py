@@ -31,6 +31,22 @@ from stark_tpu.parallel.prove_sharded import _leaves_to_words
 _MXU_FUSE_MAX_PRECISION = 1 << 20
 
 
+def _shoup_patterns(spec, inv_z_scalars, pow_scalars, skips, precision):
+    """TILE-wide Shoup pattern pairs for the periodic Z^-1 and x^steps
+    constants (period `skips`), or (None, None) where the Pallas kernels
+    cannot run (non-TILE-multiple domains). ~64 KB each: small enough to
+    close over (unlike the (L, N) tables, which must travel as args)."""
+    from stark_tpu.ops.pallas_field import TILE
+
+    if precision % TILE or skips > TILE or TILE % skips:
+        return None, None
+    reps = TILE // skips
+    return (
+        mm.shoup_consts(spec, inv_z_scalars * reps),
+        mm.shoup_consts(spec, pow_scalars * reps),
+    )
+
+
 def merkle_root_local(leaf_words, leaf_bytes: int, policy=None):
     """(W, N) leaf words -> (8,) root digest words, all on device."""
     h = b2.blake2s_words_best(leaf_words, leaf_bytes, policy)
@@ -138,6 +154,9 @@ def build_staged_prover(
     x_last_mont = mm.mont_const(spec, x_last)
     inv_z_base = mm.mont_consts(spec, inv_z_scalars)
     x2s_base = mm.mont_consts(spec, pow_scalars)
+    iz_pats, x2_pats = _shoup_patterns(
+        spec, inv_z_scalars, pow_scalars, skips, precision
+    )
 
     # one jit per LDE: ~25 small pallas kernels inline into a few-MB module
     # (manageable), and the remote transport's ~5 ms per-dispatch overhead
@@ -185,7 +204,7 @@ def build_staged_prover(
     zb3 = mm.msub(spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape))
     inv_zb3 = mm.multi_inv(spec, zb3)
 
-    def rest_fn(evs, a_ev, r_mont, k_mont, i2_mont, pubx_mont, dom):
+    def rest_fn(evs, a_ev, r_mont, k_mont, i2_mont, inv_zb2, dom):
         inv_z_full, x2s_full, xs_full, inv_zb3 = dom
         q1 = kernels.q1_eval(
             spec, evs["s"], evs["k"], evs["p"], evs["f0"], evs["f1"], skips
@@ -195,19 +214,16 @@ def build_staged_prover(
             spec, r_mont, evs["idx"], evs["perm"], evs["s"]
         )
         q3 = kernels.q3_eval(spec, a_ev, vn_big, vd_big, skips)
-        d1 = kernels.mmul_ev(spec, q1, inv_z_full)
-        d2 = kernels.mmul_ev(spec, q2, inv_z_full)
-        d3 = kernels.mmul_ev(spec, q3, inv_z_full)
+        d1 = kernels.mmul_periodic_const(spec, q1, inv_z_full, iz_pats)
+        d2 = kernels.mmul_periodic_const(spec, q2, inv_z_full, iz_pats)
+        d3 = kernels.mmul_periodic_const(spec, q3, inv_z_full, iz_pats)
         i2_ev = kernels.horner_eval(spec, i2_mont, xs_full)
         one_big = jnp.broadcast_to(mm.mont_one(spec), evs["s"].shape)
-        zb2 = kernels.vanishing_eval(spec, xs_full, pubx_mont)
-        b2_ev = kernels.mmul_ev(
-            spec, mm.msub(spec, evs["s"], i2_ev), mm.multi_inv(spec, zb2)
-        )
+        b2_ev = kernels.mmul_ev(spec, mm.msub(spec, evs["s"], i2_ev), inv_zb2)
         b3_ev = kernels.mmul_ev(spec, mm.msub(spec, a_ev, one_big), inv_zb3)
         l_ev = kernels.linear_combination(
             spec, k_mont, x2s_full, evs["p"], a_ev, evs["s"],
-            d1, d2, d3, b2_ev, b3_ev,
+            d1, d2, d3, b2_ev, b3_ev, x2s_pats=x2_pats,
         )
         m_words = _words_best(
             spec, [evs["p"], a_ev, evs["s"], d1, d2, d3, b2_ev, b3_ev]
@@ -221,9 +237,22 @@ def build_staged_prover(
     root_m_j = jax.jit(lambda w: merkle_root_local(w, 256))
     root_l_j = jax.jit(lambda w: merkle_root_local(w, 32))
 
+    # Zb2 = prod_i (x - x_i) over the PUBLIC wire positions and its inverse
+    # depend only on the circuit (utils.rs:438-455): compute once per
+    # circuit via `run.prep(pubx_mont)` and reuse across proves (the
+    # orchestrated prover caches it the same way; see prove.py). xs rides
+    # as an argument so the table is not baked into the module.
+    inv_zb2_j = jax.jit(
+        lambda pubx_mont, xs: mm.multi_inv(
+            spec, kernels.vanishing_eval(spec, xs, pubx_mont)
+        )
+    )
+
     names = ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")
 
-    def run(traces, r_mont, k_mont, i2_mont, pubx_mont):
+    def run(traces, r_mont, k_mont, i2_mont, pubx_mont, inv_zb2=None):
+        if inv_zb2 is None:
+            inv_zb2 = inv_zb2_j(pubx_mont, xs_full)
         a_mini = acc_j(traces, r_mont)
         if lde_many is not None:
             outs = lde_many([traces[n] for n in names] + [a_mini])
@@ -233,10 +262,11 @@ def build_staged_prover(
             evs = {name: lde_j(traces[name]) for name in names}
             a_ev = lde_j(a_mini)
         m_words, l_words, l_ev = rest(
-            evs, a_ev, r_mont, k_mont, i2_mont, pubx_mont, dom
+            evs, a_ev, r_mont, k_mont, i2_mont, inv_zb2, dom
         )
         return root_m_j(m_words), root_l_j(l_words), l_ev
 
+    run.prep = lambda pubx_mont: inv_zb2_j(pubx_mont, xs_full)
     return run
 
 
@@ -308,6 +338,10 @@ def build_proof_stages(
     # held resident (another 512 MB).
     _big = precision > int(
         os.environ.get("STARK_TPU_PERIODIC_TABLES_ABOVE", str(1 << 22))
+    )
+    iz_pats, x2_pats = (
+        (None, None) if gx
+        else _shoup_patterns(spec, inv_z_scalars, pow_scalars, skips, precision)
     )
     if _big:
         inv_z_full = mm.mont_consts(spec, inv_z_scalars)  # (L, skips) base
@@ -471,7 +505,12 @@ def build_proof_stages(
     )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1) if _donate else ())
-    def rest_a_j(evs, a_ev, r_mont, i2_mont, pubx_mont, dom):
+    def rest_a_j(evs, a_ev, r_mont, i2_mont, b2in, dom):
+        """`b2in`: the (L, N) cached Zb2^-1 table on small domains (it is
+        circuit-static, utils.rs:438-455 — computed once per circuit by the
+        `inv_zb2` stage and held device-resident); on big domains it is
+        pubx_mont and Zb2^-1 is recomputed per prove like Zb3^-1 (holding
+        another (L, N) table at 2^23 would cost 512 MB of HBM)."""
         inv_z_full, x2s_full, xs_full, inv_zb3 = dom
         q1 = kernels.q1_eval(
             spec, evs["s"], evs["k"], evs["p"], evs["f0"], evs["f1"], skips
@@ -485,18 +524,22 @@ def build_proof_stages(
         q_bad = jnp.stack(
             [jnp.any(q[:, ::skips] != 0) for q in (q1, q2, q3)]
         ).astype(jnp.uint32)
-        if inv_z_full.shape[1] != precision:  # periodic base (big domains)
-            mulz = lambda q: kernels.mul_periodic(spec, q, inv_z_full)
-        else:
-            mulz = lambda q: kernels.mmul_ev(spec, q, inv_z_full)
+        mulz = lambda q: kernels.mmul_periodic_const(
+            spec, q, inv_z_full, iz_pats, policy=gx
+        )
         d1 = mulz(q1)
         d2 = mulz(q2)
         d3 = mulz(q3)
         i2_ev = kernels.horner_eval(spec, i2_mont, xs_full)
         one_big = jnp.broadcast_to(mm.mont_one(spec), evs["s"].shape)
-        zb2 = kernels.vanishing_eval(spec, xs_full, pubx_mont)
+        if _big:  # b2in = pubx_mont: recompute Zb2^-1 instead of holding
+            inv_zb2 = mm.multi_inv(
+                spec, kernels.vanishing_eval(spec, xs_full, b2in)
+            )
+        else:  # b2in = the cached (L, N) Zb2^-1 table
+            inv_zb2 = b2in
         b2_ev = kernels.mmul_ev(
-            spec, mm.msub(spec, evs["s"], i2_ev), mm.multi_inv(spec, zb2)
+            spec, mm.msub(spec, evs["s"], i2_ev), inv_zb2
         )
         if inv_zb3 is None:  # big domains: recompute instead of holding
             inv_zb3 = mm.multi_inv(
@@ -512,8 +555,18 @@ def build_proof_stages(
         }
         return cols, q_bad
 
-    def rest_a(evs, a_ev, r_mont, i2_mont, pubx_mont):
-        return rest_a_j(evs, a_ev, r_mont, i2_mont, pubx_mont, dom)
+    def rest_a(evs, a_ev, r_mont, i2_mont, b2in):
+        return rest_a_j(evs, a_ev, r_mont, i2_mont, b2in, dom)
+
+    # per-circuit Zb2^-1 table stage (small domains; see rest_a_j)
+    if _big or gx:
+        inv_zb2_j = None
+    else:
+        inv_zb2_j = jax.jit(
+            lambda pubx_mont, xs: mm.multi_inv(
+                spec, kernels.vanishing_eval(spec, xs, pubx_mont)
+            )
+        )
 
     _COLS = ("p", "a", "s", "d1", "d2", "d3", "b2", "b3")
 
@@ -578,7 +631,8 @@ def build_proof_stages(
     )
     def linc_base_j(k_mont, cols, x2s_full):
         return kernels.linear_combination(
-            spec, k_mont, x2s_full, *[cols[n] for n in _COLS], policy=gx
+            spec, k_mont, x2s_full, *[cols[n] for n in _COLS], policy=gx,
+            x2s_pats=x2_pats,
         )
 
     def linc_j(k_mont, cols):
@@ -651,7 +705,8 @@ def build_proof_stages(
         t += [
             (a_root_j, (S((1, steps)), S((1, steps)), col)),
             (acc_j, (col, col, col, S((L, 3)))),
-            (rest_a_j, (evs_av, ev, S((L, 3)), S((L, n_pub)), S((L, n_pub)),
+            (rest_a_j, (evs_av, ev, S((L, 3)), S((L, n_pub)),
+                        S((L, n_pub)) if _big else ev,
                         ((S((L, skips)), S((L, skips)), ev, None)
                          if _big else (ev, ev, ev, ev)))),
             (linc_base_j, (S((L, 11)), cols_av, S((L, skips)) if _big else ev)),
@@ -660,6 +715,8 @@ def build_proof_stages(
             (k_j, (root8,)),
             (pos_j, (root8,)),
         ]
+        if inv_zb2_j is not None:
+            t.append((inv_zb2_j, (S((L, n_pub)), ev)))
         if _big:
             n_layers = precision.bit_length()  # widths N..1
             layer_avals = tuple(
@@ -702,8 +759,10 @@ def build_proof_stages(
             spec, mesh, steps, precision, original_steps
         )
 
-        def columns(traces, r_mont, i2_mont, pubx_mont):
-            return sharded_cols(traces, xs_full, r_mont, i2_mont, pubx_mont)
+        def columns(traces, r_mont, i2_mont, b2in):
+            # b2in = pubx_mont on meshes: the sharded body computes Zb2^-1
+            # itself (GSPMD partitions its pure-XLA multi_inv fine)
+            return sharded_cols(traces, xs_full, r_mont, i2_mont, b2in)
 
         def put_rows(x):
             """Host (N, ...) arrays sharded contiguously on the row axis."""
@@ -715,7 +774,9 @@ def build_proof_stages(
         put_repl = lambda x: jax.device_put(x, repl)
     else:
 
-        def columns(traces, r_mont, i2_mont, pubx_mont):
+        def columns(traces, r_mont, i2_mont, b2in):
+            # b2in: cached Zb2^-1 table (small domains) or pubx_mont (big
+            # domains); see rest_a_j
             a_mini = acc_j(traces["idx"], traces["perm"], traces["s"], r_mont)
             outs = lde_many([traces[n] for n in _TRACE8] + [a_mini])
             evs = dict(zip(_TRACE8, outs[:8]))
@@ -723,7 +784,7 @@ def build_proof_stages(
             # the 6 single-use LDE columns (k/f0/f1/f2/idx/perm) free as
             # soon as rest_a consumes (donates) them -- ~3.2 GB at 2^23
             del outs
-            return rest_a(evs, a_ev, r_mont, i2_mont, pubx_mont)
+            return rest_a(evs, a_ev, r_mont, i2_mont, b2in)
 
         if mesh is not None:
             _dev = mesh.devices.flat[0]
@@ -743,6 +804,7 @@ def build_proof_stages(
         "a_root": a_root_j,
         "acc": acc_j,
         "rest_a": rest_a,
+        "inv_zb2": inv_zb2_j,
         "columns": columns,
         "put_rows": put_rows,
         "put_repl": put_repl,

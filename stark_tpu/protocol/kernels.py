@@ -67,6 +67,20 @@ def mmul_ev(spec: FieldSpec, a, b, policy=None):
     return mm.mmul(spec, a, b)
 
 
+def mmul_periodic_const(spec: FieldSpec, q, mont_table, shoup_pats=None,
+                        policy=None):
+    """q * a periodic per-domain constant (Z^-1, x^steps).
+
+    Pallas + Shoup patterns when available (~1.7 vs 3 limb products, no
+    (L, N) constant read); else the Montgomery table — tiled full-width
+    (small domains) or the (L, skips) periodic base (big domains)."""
+    if shoup_pats is not None and _pk(q.shape[1], policy):
+        return _pkm().shoup_mul_periodic(spec, shoup_pats[0], shoup_pats[1], q)
+    if mont_table.shape[1] != q.shape[1]:
+        return mul_periodic(spec, q, mont_table)
+    return mmul_ev(spec, q, mont_table, policy)
+
+
 def rand_combination(spec: FieldSpec, r_mont, idx_ev, perm_ev, s_ev, policy=None):
     """val_nmr/val_dnm = r0 + r1*idx + r2*S (utils.rs:317-318,359-360).
 
@@ -84,11 +98,25 @@ def rand_combination(spec: FieldSpec, r_mont, idx_ev, perm_ev, s_ev, policy=None
 
 
 def accumulator_mini(spec: FieldSpec, val_nmr, val_dnm):
-    """A(j) = prod(nmr)/prod(dnm) prefix ratios (utils.rs:293-339), as
-    batched scans + one batched inversion."""
+    """A(j) = prod(nmr)/prod(dnm) prefix ratios (utils.rs:293-339).
+
+    inv(prefix_dnm_j) = inv(total) * suffix_excl_j, so one forward scan
+    (nmr), one suffix scan (dnm) and ONE Fermat inversion suffice --
+    multi_inv(prefix_dnm) would redundantly re-scan the already-scanned
+    prefixes (4 sequential scan kernels instead of 2). Field values are
+    identical; the (cryptographically impossible) all-zero-denominator
+    case degenerates differently from multi_inv's zero-skip, which the
+    reference's per-element batch inversion does not hit either."""
+    L = val_nmr.shape[0]
     acc_nmr = mm.prefix_prod(spec, val_nmr)
-    acc_dnm = mm.prefix_prod(spec, val_dnm)
-    return mm.mmul(spec, acc_nmr, mm.multi_inv(spec, acc_dnm))
+    suf_inc = mm.prefix_prod(spec, val_dnm[:, ::-1])[:, ::-1]
+    total_inv = mm.minv(spec, suf_inc[:, :1])  # suf_inc[:, 0] = prod(all)
+    one = jnp.broadcast_to(mm.mont_one(spec), (L, 1))
+    suf_exc = jnp.concatenate([suf_inc[:, 1:], one], axis=1)
+    inv_prefix = mm.mmul(
+        spec, jnp.broadcast_to(total_inv, val_dnm.shape), suf_exc
+    )
+    return mm.mmul(spec, acc_nmr, inv_prefix)
 
 
 def q1_eval(spec: FieldSpec, s_ev, k_ev, p_ev, f0_ev, f1_ev, skips: int, policy=None):
@@ -152,14 +180,22 @@ def vanishing_eval(spec: FieldSpec, xs_full, points_mont, policy=None):
 
 def linear_combination(
     spec: FieldSpec, k_mont, x_to_steps, p_ev, a_ev, s_ev, d1, d2, d3, b2, b3,
-    policy=None,
+    policy=None, x2s_pats=None,
 ):
     """L = k0*D1 + k1*D2 + k2*D3 + k3*P + k4*P*x^steps + k5*B2 + k6*B2*x^steps
          + k7*B3 + k8*B3*x^steps + k9*A + k10*S  (prove.rs:293-322).
 
     k_mont: (L, 11) Montgomery Fiat-Shamir coefficients. x_to_steps may be
     the full (L, N) table or its (L, skips) periodic base (large domains;
-    see `mul_periodic`)."""
+    see `mul_periodic`). x2s_pats: optional TILE-wide Shoup pattern pair
+    for x^steps (`modmath.shoup_consts`); with Pallas active the fused
+    kernel then multiplies by x^steps in Shoup form and never reads an
+    (L, N) x^steps table."""
+    if x2s_pats is not None and _pk(s_ev.shape[1], policy):
+        return _pkm().linear_combination_shoup(
+            spec, k_mont, x2s_pats[0], x2s_pats[1],
+            p_ev, a_ev, s_ev, d1, d2, d3, b2, b3,
+        )
     periodic = x_to_steps.shape[1] != s_ev.shape[1]
     if not periodic and _pk(s_ev.shape[1], policy):
         return _pkm().linear_combination(

@@ -239,6 +239,101 @@ def vanishing_eval(spec: FieldSpec, xs_full, points_mont):
     )
 
 
+# --- Shoup (precomputed-quotient) periodic-constant multiply ---------------
+#
+# Z(x)^-1 and x^steps are periodic with period EXTENSION_FACTOR on the
+# evaluation domain (prove.rs:128-129,287-291). The Shoup form multiplies a
+# Montgomery-domain array by PLAIN per-position constants in ~1.7 full
+# limb products instead of Montgomery's 3, and the constants travel as ONE
+# TILE-wide pattern block reused by every grid step -- no (L, N) table in
+# HBM at all. Patterns from `modmath.shoup_consts(scalars * (TILE//k))`.
+
+
+def _shoup_periodic_kernel(spec, w_ref, wp_ref, x_ref, o_ref):
+    out = pf._shoup_mul_rows(
+        spec, pf._rows(w_ref[:]), pf._rows(wp_ref[:]), pf._rows(x_ref[:])
+    )
+    o_ref[:] = jnp.stack(pf._cond_sub_p_rows(spec, out), axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def shoup_mul_periodic(spec: FieldSpec, w_pat, wp_pat, x):
+    """x * periodic plain constants, canonical output. w_pat/wp_pat:
+    (L, TILE) period-tiled pattern blocks (identical for every block)."""
+    L, n = x.shape
+    t = w_pat.shape[1]
+    assert n % t == 0, (n, t)
+    return pl.pallas_call(
+        functools.partial(_shoup_periodic_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=(n // t,),
+        in_specs=[
+            pl.BlockSpec((L, t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(w_pat, wp_pat, x)
+
+
+# --- linear combination with Shoup x^steps patterns ------------------------
+
+
+def _lincomb_shoup_kernel(
+    spec, k_ref, xw_ref, xwp_ref, p_ref, a_ref, s_ref, d1_ref, d2_ref,
+    d3_ref, b2_ref, b3_ref, o_ref,
+):
+    shape = p_ref.shape
+    xw = pf._rows(xw_ref[:])
+    xwp = pf._rows(xwp_ref[:])
+    # lazy [0, 2p) product is safe: it feeds the Montgomery k_j-multiply,
+    # whose REDC tolerates <2p inputs and canonicalizes the output
+    mulx = lambda c: pf._shoup_mul_rows(spec, xw, xwp, c)
+    cols = {
+        "p": pf._rows(p_ref[:]), "a": pf._rows(a_ref[:]), "s": pf._rows(s_ref[:]),
+        "d1": pf._rows(d1_ref[:]), "d2": pf._rows(d2_ref[:]), "d3": pf._rows(d3_ref[:]),
+        "b2": pf._rows(b2_ref[:]), "b3": pf._rows(b3_ref[:]),
+    }
+    km = [_bc_col(k_ref, i, shape) for i in range(11)]
+    acc = _mul(spec, km[0], cols["d1"])
+    for j, term in (
+        (1, cols["d2"]), (2, cols["d3"]), (3, cols["p"]),
+        (4, mulx(cols["p"])), (5, cols["b2"]),
+        (6, mulx(cols["b2"])), (7, cols["b3"]),
+        (8, mulx(cols["b3"])), (9, cols["a"]), (10, cols["s"]),
+    ):
+        acc = pf._add_rows(spec, acc, _mul(spec, km[j], term))
+    o_ref[:] = jnp.stack(acc, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def linear_combination_shoup(
+    spec: FieldSpec, k_mont, xw_pat, xwp_pat, p_ev, a_ev, s_ev, d1, d2, d3,
+    b2, b3,
+):
+    """`linear_combination` with x^steps as TILE-wide Shoup patterns
+    (prove.rs:293-322; same field values, ~1.7 vs 3 limb products per
+    x^steps multiply and no (L, N) x^steps table read)."""
+    L = spec.num_limbs
+    n = p_ev.shape[1]
+    t = xw_pat.shape[1]
+    assert n % t == 0, (n, t)
+    col = lambda: pl.BlockSpec((L, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+    pat = lambda: pl.BlockSpec((L, t), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lincomb_shoup_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=(n // t,),
+        in_specs=[
+            pl.BlockSpec(k_mont.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pat(), pat(),
+        ] + [col() for _ in range(8)],
+        out_specs=col(),
+        interpret=_interpret(),
+    )(k_mont, xw_pat, xwp_pat, p_ev, a_ev, s_ev, d1, d2, d3, b2, b3)
+
+
 # --- (a - b) * c, and plain elementwise mul --------------------------------
 
 def _submul_kernel(spec, a_ref, b_ref, c_ref, o_ref):

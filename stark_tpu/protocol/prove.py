@@ -299,11 +299,27 @@ def enqueue_r1cs_proof(
         ]
         pub_ys = [public_wires[k] for (k, _) in arith.public_first_indices]
         interpolant2 = ph.lagrange_interp(spec, pub_xs, pub_ys)
+        pubx_d = put_repl(mm.mont_consts(spec, pub_xs))
+        if stages["inv_zb2"] is not None:
+            # Zb2^-1 is circuit-static (utils.rs:438-455): compute once per
+            # circuit and keep the (L, N) table device-resident across
+            # proves (~64 MB at 2^20; big domains recompute per prove
+            # inside rest_a instead, like Zb3^-1)
+            zb2c = getattr(arith, "_inv_zb2_cache", None)
+            if zb2c is None or zb2c[0] != (steps, mesh, digest):
+                zb2c = (
+                    (steps, mesh, digest),
+                    stages["inv_zb2"](pubx_d, xs_full),
+                )
+                arith._inv_zb2_cache = zb2c
+            b2in = zb2c[1]
+        else:
+            b2in = pubx_d
         cols, q_bad = stages["columns"](
             traces,
             r_mont,
             put_repl(mm.mont_consts(spec, interpolant2)),
-            put_repl(mm.mont_consts(spec, pub_xs)),
+            b2in,
         )
         # nothing downstream reads the small-domain traces: dropping the
         # dict frees ~0.5 GB (at steps 2^20) once the queued columns run

@@ -70,8 +70,12 @@ def phase_cost_sums(spec, steps, precision, original_steps, n_pub, n_wires):
     return sums, details
 
 
-def phase_walls():
-    """{phase_name: seconds} flattened from the tracing tree's top span."""
+def phase_walls(top_only: bool = True):
+    """{phase_name: seconds} from the tracing tree.
+
+    top_only sums only the root's direct children (the prover's phases);
+    a parent phase's elapsed already contains its children, so flattening
+    every level would double-count nested spans."""
     from stark_tpu.utils import tracing
 
     phases: dict = {}
@@ -79,9 +83,35 @@ def phase_walls():
     def walk(node):
         for c in node.children.values():
             phases[c.name] = phases.get(c.name, 0.0) + c.elapsed
-            walk(c)
+            if not top_only:
+                walk(c)
 
-    # the prover's phases sit directly under the root (there is no
-    # enclosing "prove" span), so walk from the root itself
     walk(tracing._root)
     return phases
+
+
+def stage_memory_peaks(spec, steps, precision, original_steps, n_pub, n_wires):
+    """{stage: XLA peak_memory_in_bytes} per compiled prover stage.
+
+    The axon remote transport exposes no runtime device memory telemetry
+    (`device.memory_stats()` returns None and
+    `jax.profiler.device_memory_profile()` aborts the process), so the
+    compiler's buffer-assignment peak per executable is the device-exact
+    substitute: it bounds each dispatch's live HBM (arguments + outputs +
+    temps). It does NOT include arrays held resident BETWEEN dispatches
+    (the domain tables and m-tree columns); callers add that accounting
+    separately."""
+    from stark_tpu.protocol.warmup import warmup_targets
+
+    targets = warmup_targets(
+        spec, steps, precision, original_steps, n_pub=n_pub, n_wires=n_wires
+    )
+    peaks: dict = {}
+    for fn, args in targets:
+        name = getattr(fn, "__name__", None) or str(fn)[:30]
+        try:
+            ma = fn.lower(*args).compile().memory_analysis()
+            peaks[name] = max(peaks.get(name, 0), int(ma.peak_memory_in_bytes))
+        except Exception:
+            continue
+    return peaks

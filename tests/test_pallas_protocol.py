@@ -106,6 +106,43 @@ def test_linear_combination(monkeypatch):
     _eq(got, want)
 
 
+def test_shoup_mul_periodic(monkeypatch):
+    """Shoup periodic-constant multiply == Montgomery multiply by the
+    tiled table, bit-for-bit (canonical outputs)."""
+    from stark_tpu.ops.pallas_field import TILE
+    from stark_tpu.protocol import kernels
+
+    rng = random.Random(17)
+    skips = 8
+    scalars = [rng.randrange(spec.p) for _ in range(skips)]
+    x, _ = _rand_mont(rng)
+    pats = mm.shoup_consts(spec, scalars * (TILE // skips))
+    got = _pkm().shoup_mul_periodic(spec, pats[0], pats[1], x)
+    _xla(monkeypatch)
+    table = jnp.tile(mm.mont_consts(spec, scalars), (1, N // skips))
+    want = kernels.mmul_ev(spec, x, table)
+    _eq(got, want)
+
+
+def test_linear_combination_shoup(monkeypatch):
+    """The Shoup-x^steps fused linear combination == the XLA kernel with
+    the tiled x^steps table."""
+    from stark_tpu.ops.pallas_field import TILE
+    from stark_tpu.protocol import kernels
+
+    rng = random.Random(19)
+    skips = 8
+    pow_scalars = [rng.randrange(spec.p) for _ in range(skips)]
+    cols = [_rand_mont(rng)[0] for _ in range(8)]
+    k_mont = mm.mont_consts(spec, [1] + [rng.randrange(spec.p) for _ in range(10)])
+    pats = mm.shoup_consts(spec, pow_scalars * (TILE // skips))
+    got = _pkm().linear_combination_shoup(spec, k_mont, pats[0], pats[1], *cols)
+    _xla(monkeypatch)
+    x2s = jnp.tile(mm.mont_consts(spec, pow_scalars), (1, N // skips))
+    want = kernels.linear_combination(spec, k_mont, x2s, *cols)
+    _eq(got, want)
+
+
 def test_horner_and_vanishing(monkeypatch):
     from stark_tpu.protocol import kernels
 
