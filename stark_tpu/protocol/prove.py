@@ -131,8 +131,12 @@ _TRACE_NAMES = ("k", "f0", "f1", "f2", "s", "p", "idx", "perm")
 
 
 @functools.lru_cache(maxsize=8)
-def _stages_cached(spec, steps, precision, original_steps, mesh=None,
-                   digest="blake2s"):
+def _stages_cached(spec, steps, precision, original_steps, mesh, digest):
+    """No default args ON PURPOSE: lru_cache keys on the raw argument
+    tuple, so f(a,b,c,d) and f(a,b,c,d,None,"blake2s") would be two cache
+    entries building two stage sets -- each holding multi-GB domain/NTT
+    plan tables on device (the duplicate OOM'd prove-after-verify at
+    precision 2^23). Every caller passes all six."""
     from stark_tpu.protocol.core import build_proof_stages
 
     return build_proof_stages(

@@ -198,7 +198,15 @@ def verify_r1cs_proof(
     # lde_many + ONE gather dispatch (reusing the prover's compiled stages;
     # eager per-column chains cost a tunnel round trip per op).
     with phase("v_lde"):
-        stages = _stages_cached(spec, steps, precision, original_steps)
+        # EXACTLY the prover's positional call shape: lru_cache keys on the
+        # raw argument tuple, so `_stages_cached(spec, s, p, o)` and
+        # `_stages_cached(spec, s, p, o, None, "blake2s")` are DIFFERENT
+        # entries -- the mismatch built a second stage set whose domain/NTT
+        # plan tables duplicated ~2.5 GB of HBM at precision 2^23 (enough
+        # to OOM a prove issued after a verify)
+        stages = _stages_cached(
+            spec, steps, precision, original_steps, None, digest
+        )
         evs = ev_cache.get("evs") if ev_cache is not None else None
         if evs is None:
             perm_np = np.asarray(permuted, dtype=np.uint64)

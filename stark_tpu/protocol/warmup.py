@@ -86,7 +86,12 @@ def warmup_targets(
     from stark_tpu.merkle.tree import _gather_flat_j
     from stark_tpu.protocol.prove import _stages_cached
 
-    stages = _stages_cached(spec, steps, precision, original_steps)
+    # the prover's exact positional call shape: lru_cache keys on the raw
+    # argument tuple, and a mismatched arity would build (and hold) a
+    # DUPLICATE stage set with its own multi-GB domain/plan tables
+    stages = _stages_cached(
+        spec, steps, precision, original_steps, None, "blake2s"
+    )
     skips = precision // steps
     S = lambda sh, dt=jnp.uint32: jax.ShapeDtypeStruct(sh, dt)
     n_pos = SPOT_CHECK_SECURITY_FACTOR
