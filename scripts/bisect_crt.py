@@ -8,6 +8,10 @@ import jax, numpy as np
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_stark"))
+# GPU-only XLA cache paths would otherwise be derived from the
+# cache dir and folded into every cache KEY, making cached
+# executables non-portable across cache locations (cache-pack)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

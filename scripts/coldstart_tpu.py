@@ -21,6 +21,10 @@ import jax
 
 cache = os.environ.get("CACHE_DIR") or tempfile.mkdtemp(prefix="stark_cold_")
 jax.config.update("jax_compilation_cache_dir", cache)
+# GPU-only XLA cache paths would otherwise be derived from the
+# cache dir and folded into every cache KEY, making cached
+# executables non-portable across cache locations (cache-pack)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

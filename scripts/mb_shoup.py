@@ -18,6 +18,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_stark"))
+# GPU-only XLA cache paths would otherwise be derived from the
+# cache dir and folded into every cache KEY, making cached
+# executables non-portable across cache locations (cache-pack)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -30,10 +30,19 @@ import time
 REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 
 _CHILD = r"""
-import json, os, sys, time
+import json, logging, os, sys, time
 sys.path.insert(0, %(repo)r)
+logging.basicConfig(level=logging.WARNING)
+# count persistent-cache hits/misses (parent greps the saved log); the
+# logger level does NOT feed the cache key (verified: same key with and
+# without it)
+logging.getLogger("jax._src.compiler").setLevel(logging.DEBUG)
 import jax
 jax.config.update("jax_compilation_cache_dir", os.environ["STARK_TPU_CACHE"])
+# GPU-only XLA cache paths would otherwise be derived from the
+# cache dir and folded into every cache KEY, making cached
+# executables non-portable across cache locations (cache-pack)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 from stark_tpu.protocol import runner
@@ -59,7 +68,7 @@ print("CHILD " + json.dumps({
 """
 
 
-def _run_child(cache, plans, extra_env=None):
+def _run_child(cache, plans, extra_env=None, log=None):
     env = dict(os.environ)
     env["STARK_TPU_CACHE"] = cache
     env["STARK_TPU_PLANS_CACHE"] = plans
@@ -70,6 +79,9 @@ def _run_child(cache, plans, extra_env=None):
         capture_output=True, text=True, env=env,
     )
     wall = time.time() - t0
+    if log:
+        with open(log, "w") as f:
+            f.write(out.stdout + "\n--- stderr ---\n" + out.stderr)
     for line in out.stdout.splitlines():
         if line.startswith("CHILD "):
             d = json.loads(line[6:])
@@ -90,7 +102,7 @@ def main():
         os.makedirs(d)
 
     print("phase A: build cache from empty (cold compiles)...", flush=True)
-    a = _run_child(a_cache, a_plans)
+    a = _run_child(a_cache, a_plans, log="/tmp/packed_cold_a.log")
     print("A " + json.dumps(a), flush=True)
 
     t0 = time.time()
@@ -112,7 +124,10 @@ def main():
 
     print("phase B: restored cold start (unpacked cache, fresh process)...",
           flush=True)
-    b = _run_child(b_cache, b_plans)
+    # keep the auto-warmup ON: with a restored cache its threads LOAD the
+    # cached executables in parallel (RPC releases the GIL), which a
+    # 1-vCPU host needs -- warmup-off measured 45 s slower here
+    b = _run_child(b_cache, b_plans, log="/tmp/packed_cold_b.log")
 
     print(
         "MEASURE "

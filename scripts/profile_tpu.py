@@ -36,6 +36,7 @@ import jax
 jax.config.update(
     "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_stark")
 )
+jax.config.update("jax_persistent_cache_enable_xla_caches", "")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from stark_tpu.fields.field import BN254_FR as spec

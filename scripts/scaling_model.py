@@ -44,6 +44,7 @@ def measure_t1(n: int, columns: int) -> float:
     jax.config.update(
         "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_stark")
     )
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     import numpy as np
