@@ -57,13 +57,19 @@ def measure_t1(n: int, columns: int) -> float:
     rng = np.random.default_rng(0)
     vals = [int(v) % spec.p for v in rng.integers(0, 1 << 62, size=n, dtype=np.uint64)]
     col = mm.to_mont(spec, jnp.asarray(mm.ints_to_limbs_np(vals, spec)))
-    w_half = nttm.forward_table(spec, g, n)
-    fwd = jax.jit(lambda t, w: nttm.ntt(spec, t, w))
-    _ = np.asarray(fwd(col, w_half))
+    # the per-device kernel of the sharded four-step is the bitrev-free
+    # butterfly core (natural -> bitrev DIF); the `ntt()` compat shim adds
+    # a full bitrev lane gather that NO production path executes (the LDE
+    # plans compose bit-reversals away) and costs ~1 s at 2^20 on TPU --
+    # anchoring on it would overstate t1 ~17x
+    plan = nttm.NttPlan(spec, g, n, "dif")
+    fwd = jax.jit(lambda t, pl: nttm._dif_fast(spec, t, pl))
+    red = jax.jit(lambda a: jnp.sum(a, dtype=jnp.uint32))
+    _ = np.asarray(red(fwd(col, plan)))
     iters = int(os.environ.get("ITERS", 5))
     t0 = time.time()
     for _ in range(iters):
-        _ = np.asarray(fwd(col, w_half))
+        _ = np.asarray(red(fwd(col, plan)))
     per_col = (time.time() - t0) / iters
     print(f"# measured 1-chip NTT(2^{n.bit_length()-1}) = {per_col*1e3:.1f} ms/column "
           f"({os.environ.get('ITERS', 5)} iters, backend={jax.default_backend()})",

@@ -284,10 +284,28 @@ def from_mont(spec: FieldSpec, a):
 # pow / inverse
 # ---------------------------------------------------------------------------
 
+def _pallas_scalar_pow_ok(a, e: int) -> bool:
+    """Route long scalar-lane exponentiations to the fused Pallas kernel:
+    XLA's device `while` costs ~0.15 ms per iteration on a (L, 1) value
+    (the accumulator's single Fermat inversion profiled at 76 ms/prove),
+    while the in-VMEM kernel runs the whole chain in well under 1 ms."""
+    import os
+
+    if os.environ.get("STARK_TPU_PALLAS", "auto") == "0":
+        return False
+    if a.ndim != 2 or a.shape[1] > 8 or e.bit_length() < 32:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def mpow(spec: FieldSpec, a, e: int):
     """a^e elementwise (Montgomery in/out), static exponent; MSB-first
     square-and-multiply inside a fori_loop so the graph stays small."""
+    if _pallas_scalar_pow_ok(a, e):
+        from stark_tpu.ops import pallas_field as pf
+
+        return pf.mpow_scalar(spec, a, e)
     nbits = max(e.bit_length(), 1)
     bits = jnp.asarray([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=U32)
     one = jnp.broadcast_to(

@@ -538,6 +538,60 @@ def butterfly_fused(
 
 
 # ---------------------------------------------------------------------------
+# scalar-lane Montgomery exponentiation (Fermat inversion, transcript pows)
+# ---------------------------------------------------------------------------
+#
+# XLA lowers `mpow`'s square-and-multiply fori_loop to a device `while`
+# whose per-iteration overhead on a (L, 1) scalar is ~0.15 ms -- the
+# single Fermat inversion inside the permutation accumulator measured
+# 76 ms of device time per prove (the top kernel of the first real
+# device profile). Here the whole chain runs in one kernel: the operand
+# stays in VMEM/registers and the exponent bits ride in SMEM.
+
+
+def _mpow_kernel(spec, nbits, bits_ref, a_ref, o_ref):
+    L = spec.num_limbs
+    a_rows = _rows(a_ref[:])
+    one_rows = tuple(
+        jnp.full(a_ref.shape[1:], np.uint32(w), jnp.uint32)
+        for w in int_to_limbs(spec.r_mod_p, L)
+    )
+
+    def body(i, run):
+        run = _mont_mul_rows(spec, list(run), list(run))
+        mul = _mont_mul_rows(spec, run, a_rows)
+        b = bits_ref[i]
+        return tuple(
+            jnp.where(b > 0, m, r) for m, r in zip(mul, run)
+        )
+
+    out = jax.lax.fori_loop(0, nbits, body, one_rows)
+    o_ref[:] = jnp.stack(list(out), axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def mpow_scalar(spec: FieldSpec, a, e: int):
+    """a^e for a small (L, k) Montgomery array (k <= a few lanes), one
+    fused kernel. MSB-first square-and-multiply; the static exponent's
+    bits travel as an SMEM operand so the loop body is traced once."""
+    nbits = max(e.bit_length(), 1)
+    bits = jnp.asarray(
+        [(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.int32
+    )
+    L, k = a.shape
+    return pl.pallas_call(
+        functools.partial(_mpow_kernel, spec, nbits),
+        out_shape=jax.ShapeDtypeStruct((L, k), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(bits, a)
+
+
+# ---------------------------------------------------------------------------
 # sequential prefix-product scan (for batch inversion / grand products)
 # ---------------------------------------------------------------------------
 #

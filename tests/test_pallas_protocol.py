@@ -106,6 +106,26 @@ def test_linear_combination(monkeypatch):
     _eq(got, want)
 
 
+def test_mpow_scalar(monkeypatch):
+    """The fused scalar exponentiation kernel == python pow, including
+    the Fermat-inversion exponent and the zero operand."""
+    from stark_tpu.ops import pallas_field as pfm
+
+    rng = random.Random(23)
+    vals = [rng.randrange(spec.p) for _ in range(3)] + [0]
+    a = mm.to_mont(spec, jnp.asarray(mm.ints_to_limbs_np(vals, spec)))
+    for e in (spec.p - 2, 65537):
+        got = mm.limbs_to_ints_np(
+            np.asarray(mm.from_mont(spec, pfm.mpow_scalar(spec, a, e))), spec
+        )
+        assert got == [pow(v, e, spec.p) for v in vals]
+    # and the mpow dispatcher routes scalars through it on TPU
+    got = mm.limbs_to_ints_np(
+        np.asarray(mm.from_mont(spec, mm.minv(spec, a))), spec
+    )
+    assert got == [pow(v, spec.p - 2, spec.p) for v in vals]
+
+
 def test_shoup_mul_periodic(monkeypatch):
     """Shoup periodic-constant multiply == Montgomery multiply by the
     tiled table, bit-for-bit (canonical outputs)."""
