@@ -152,10 +152,17 @@ def _fold_j(spec: FieldSpec, values, xs, sx, policy=None):
     ys4 = values.reshape(L, 4, quarter)
     v0, v1, v2, v3 = (ys4[:, j] for j in range(4))
     i_root = xs[:, quarter][:, None]  # I = g^(n/4), the round's 4th root
+    # the six full-width products route through the Pallas multiply when
+    # available: the XLA mmul's fori_loop measured 6-8.5 ms per product at
+    # the first round's 2^18 (vs ~0.6 ms fused) -- together they were the
+    # FRI phase's dominant device time in the round-4 kernel profile
+    from stark_tpu.protocol.kernels import mmul_ev
+
+    mul = lambda a, b: mmul_ev(spec, a, b, policy)
     a = mm.madd(spec, v0, v2)
     b = mm.madd(spec, v1, v3)
     c = mm.msub(spec, v0, v2)
-    e = mm.mmul(spec, jnp.broadcast_to(i_root, c.shape), mm.msub(spec, v3, v1))
+    e = mul(jnp.broadcast_to(i_root, c.shape), mm.msub(spec, v3, v1))
     u0 = mm.madd(spec, a, b)
     u2 = mm.msub(spec, a, b)
     u1 = mm.madd(spec, c, e)
@@ -164,12 +171,12 @@ def _fold_j(spec: FieldSpec, values, xs, sx, policy=None):
     xinv = jnp.concatenate(
         [xs[:, :1], xs[:, : n - quarter : -1]], axis=1
     )
-    t = mm.mmul(spec, jnp.broadcast_to(sx[:, :, 0], (L, quarter)), xinv)
-    acc = mm.madd(spec, mm.mmul(spec, u3, t), u2)
-    acc = mm.madd(spec, mm.mmul(spec, acc, t), u1)
-    acc = mm.madd(spec, mm.mmul(spec, acc, t), u0)
+    t = mul(jnp.broadcast_to(sx[:, :, 0], (L, quarter)), xinv)
+    acc = mm.madd(spec, mul(u3, t), u2)
+    acc = mm.madd(spec, mul(acc, t), u1)
+    acc = mm.madd(spec, mul(acc, t), u0)
     inv4 = mm.mont_const(spec, pow(4, spec.p - 2, spec.p))
-    return mm.mmul(spec, jnp.broadcast_to(inv4, acc.shape), acc)
+    return mul(jnp.broadcast_to(inv4, acc.shape), acc)
 
 
 def prove_low_degree(

@@ -219,8 +219,8 @@ def build_staged_prover(
         d3 = kernels.mmul_periodic_const(spec, q3, inv_z_full, iz_pats)
         i2_ev = kernels.horner_eval(spec, i2_mont, xs_full)
         one_big = jnp.broadcast_to(mm.mont_one(spec), evs["s"].shape)
-        b2_ev = kernels.mmul_ev(spec, mm.msub(spec, evs["s"], i2_ev), inv_zb2)
-        b3_ev = kernels.mmul_ev(spec, mm.msub(spec, a_ev, one_big), inv_zb3)
+        b2_ev = kernels.sub_mul_ev(spec, evs["s"], i2_ev, inv_zb2)
+        b3_ev = kernels.sub_mul_ev(spec, a_ev, one_big, inv_zb3)
         l_ev = kernels.linear_combination(
             spec, k_mont, x2s_full, evs["p"], a_ev, evs["s"],
             d1, d2, d3, b2_ev, b3_ev, x2s_pats=x2_pats,
@@ -538,9 +538,7 @@ def build_proof_stages(
             )
         else:  # b2in = the cached (L, N) Zb2^-1 table
             inv_zb2 = b2in
-        b2_ev = kernels.mmul_ev(
-            spec, mm.msub(spec, evs["s"], i2_ev), inv_zb2
-        )
+        b2_ev = kernels.sub_mul_ev(spec, evs["s"], i2_ev, inv_zb2)
         if inv_zb3 is None:  # big domains: recompute instead of holding
             inv_zb3 = mm.multi_inv(
                 spec,
@@ -548,7 +546,7 @@ def build_proof_stages(
                     spec, xs_full, jnp.broadcast_to(x_last_mont, xs_full.shape)
                 ),
             )
-        b3_ev = kernels.mmul_ev(spec, mm.msub(spec, a_ev, one_big), inv_zb3)
+        b3_ev = kernels.sub_mul_ev(spec, a_ev, one_big, inv_zb3)
         cols = {
             "p": evs["p"], "a": a_ev, "s": evs["s"],
             "d1": d1, "d2": d2, "d3": d3, "b2": b2_ev, "b3": b3_ev,

@@ -67,6 +67,16 @@ def mmul_ev(spec: FieldSpec, a, b, policy=None):
     return mm.mmul(spec, a, b)
 
 
+def sub_mul_ev(spec: FieldSpec, a, b, c, policy=None):
+    """(a - b) * c elementwise — the boundary quotients B2/B3
+    (`prove.rs:216-232`). The fused Pallas kernel reads each operand once;
+    the composed path's separate msub measured ~8 ms of compare/select
+    fusion per call at 2^20."""
+    if _pk(a.shape[1], policy):
+        return _pkm().sub_mul(spec, a, b, c)
+    return mm.mmul(spec, mm.msub(spec, a, b), c)
+
+
 def mmul_periodic_const(spec: FieldSpec, q, mont_table, shoup_pats=None,
                         policy=None):
     """q * a periodic per-domain constant (Z^-1, x^steps).
