@@ -46,6 +46,14 @@ def _call(spec, kernel, n_out, inputs, small=()):
     operands (scalars tables like r/k coefficient columns)."""
     L = spec.num_limbs
     n = inputs[0].shape[1]
+    # a mismatched operand width would make the tiled BlockSpecs read out
+    # of bounds -- observed to CRASH the remote TPU worker outright, so
+    # fail at trace time instead
+    for x in inputs:
+        assert x.shape[1] == n, (
+            f"pallas kernel operands must share the domain width: "
+            f"{[tuple(i.shape) for i in inputs]}"
+        )
     t = TILE if n % TILE == 0 else n
     in_specs = [
         pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
