@@ -221,6 +221,63 @@ def prove_low_degree(
     return assemble_fri(spec, pending, flats)
 
 
+def _n_rounds(max_deg_plus_1: int, cutoff: int) -> int:
+    r = 0
+    while max_deg_plus_1 > cutoff:
+        r += 1
+        max_deg_plus_1 //= 4
+    return r
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _fri_chain_j(
+    spec: FieldSpec, n_rounds: int, exclude: int, policy, digest,
+    values, xs, first_words, first_layers,
+):
+    """The ENTIRE FRI recursion as one traced computation.
+
+    Every round's shapes are static (each is the previous quarter), and
+    every challenge is device-derived, so nothing forces per-round
+    dispatches: fusing the ~6 dispatches x ~7 rounds into ONE removes
+    ~35 host->device enqueues per prove (each a tunnel RPC on the
+    remote transport; the per-round jits measured ~100 ms of
+    enqueue-rate wall in the warm prove). The per-round jits remain for
+    the no-first-tree path and tests. Outputs are ordered exactly as
+    `assemble_fri` consumes them: per round (root2, col_flat, val_flat),
+    then the direct-check `last` words."""
+    from stark_tpu.protocol import device_transcript as dt
+
+    words, layers = first_words, first_layers
+    outs = []
+    for _ in range(n_rounds):
+        n = values.shape[1]
+        quarter = n // 4
+        val_root_w = layers[-1][:, 0]
+        sx = dt.digest_le_int_mont(spec, val_root_w)[:, :, None]
+        column = _fold_j(spec, values, xs, sx, policy)
+        c_words = _value_words(spec, column, policy)
+        c_layers = mt.build_layers_digest(c_words, 32, policy, digest)
+        root2_w = c_layers[-1][:, 0]
+        ys = dt.pseudorandom_indices(
+            root2_w, quarter, QUERIES_PER_ROUND, exclude
+        )
+        poly_positions = (
+            ys[:, None]
+            + jnp.uint32(quarter) * jnp.arange(4, dtype=jnp.uint32)[None, :]
+        ).reshape(-1)
+        val_flat = mt._gather_flat_j(
+            words, tuple(layers[:-1]), poly_positions.astype(jnp.int32)
+        )
+        col_flat = mt._gather_flat_j(
+            c_words, tuple(c_layers[:-1]), ys.astype(jnp.int32)
+        )
+        outs.extend([root2_w, col_flat, val_flat])
+        values, words, layers = column, c_words, tuple(c_layers)
+        xs = xs[:, ::4]
+    outs.append(_value_words(spec, values, policy)[:8])
+    return tuple(outs)
+
+
 def prove_low_degree_pending(
     spec: FieldSpec,
     values_mont,
@@ -236,10 +293,26 @@ def prove_low_degree_pending(
     derived ON DEVICE (`protocol/device_transcript`), so the whole
     recursion enqueues without a single host sync. Returns a pending
     record whose `device_arrays` the caller materializes in one transfer
-    (together with the rest of the proof) and feeds to `assemble_fri`."""
+    (together with the rest of the proof) and feeds to `assemble_fri`.
+
+    With a caller-committed `first_tree` (the prover's l_tree) the whole
+    recursion runs as ONE fused dispatch (`_fri_chain_j`);
+    STARK_TPU_FRI_FUSED=0 restores the per-round dispatch loop."""
+    import os
+
     assert deg_direct_checking >= MIN_DEG_DIRECT_CHECKING
     values = values_mont
     xs = xs_full
+    if (
+        first_tree is not None
+        and os.environ.get("STARK_TPU_FRI_FUSED", "1") != "0"
+    ):
+        n_rounds = _n_rounds(max_deg_plus_1, deg_direct_checking)
+        outs = _fri_chain_j(
+            spec, n_rounds, exclude_multiples_of, policy, digest,
+            values, xs, first_tree.leaf_words, tuple(first_tree.layers),
+        )
+        return {"device_arrays": list(outs), "n_rounds": n_rounds}
     rounds = []  # (root2_words, val_flat, col_flat) device triples
     while True:
         n = values.shape[1]
