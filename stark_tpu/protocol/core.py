@@ -667,6 +667,57 @@ def build_proof_stages(
         aug = (pos[:, None] + offs[None, :]) % np.uint32(precision)
         return pos, aug.reshape(-1)
 
+    # --- dispatch-count fusions (small domains, single device) ------------
+    # Each host->device enqueue is a tunnel RPC on the remote transport;
+    # fusing the statically-chained middle of the prove (commit -> k ->
+    # linear combination -> l-commit, and positions -> both branch
+    # gathers) removes 5 dispatches per prove. Big domains keep the
+    # separate stages (the streamed m-tree path interleaves differently);
+    # meshes keep them too (GSPMD partitioning is per-stage).
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0,) if (_donate and not _big) else ()
+    )
+    def commit_chain_j(cols, x2s_arg):
+        """m-commit -> k coefficients -> linear combination -> l-commit,
+        one dispatch (prove.rs:235-332 between Fiat-Shamir round trips)."""
+        m_words = _words_best(spec, [cols[n] for n in _COLS], gx)
+        m_layers = mt._build_layers(m_words, 256, gx)
+        m_root_w = m_layers[-1][:, 0]
+        k_mont = dt.k_coeffs_mont(spec, m_root_w)
+        l_ev = kernels.linear_combination(
+            spec, k_mont, x2s_arg, *[cols[n] for n in _COLS], policy=gx,
+            x2s_pats=x2_pats,
+        )
+        l_words = _words_best(spec, [l_ev], gx)
+        l_layers = mt.build_layers_digest(l_words, 32, gx, digest)
+        return (
+            m_words, tuple(m_layers), k_mont, l_ev, l_words, tuple(l_layers)
+        )
+
+    def commit_chain(cols):
+        return commit_chain_j(cols, x2s_full)
+
+    @jax.jit
+    def pos_gather_j(l_root_words8, l_words, l_layers, m_words, m_layers):
+        """Spot-check positions + BOTH branch gathers, one dispatch."""
+        pos = dt.pseudorandom_indices(
+            l_root_words8, precision, SPOT_CHECK_SECURITY_FACTOR, skips
+        )
+        offs = jnp.asarray(
+            np.array(
+                [0, precision - skips, kshift, 2 * kshift], dtype=np.uint32
+            )
+        )
+        aug = ((pos[:, None] + offs[None, :]) % np.uint32(precision)).reshape(-1)
+        l_flat = mt._gather_flat_j(
+            l_words, tuple(l_layers[:-1]), pos.astype(jnp.int32)
+        )
+        m_flat = mt._gather_flat_j(
+            m_words, tuple(m_layers[:-1]), aug.astype(jnp.int32)
+        )
+        return l_flat, m_flat
+
     def warm_targets(n_pub: int, n_wires: int = 0):
         """(jit_fn, example_args) pairs covering every compile a prove (and
         the verifier's column stages) will trigger at this circuit size, so
@@ -715,6 +766,15 @@ def build_proof_stages(
         ]
         if inv_zb2_j is not None:
             t.append((inv_zb2_j, (S((L, n_pub)), ev)))
+        if not (_big or gx):
+            n_layers = precision.bit_length()
+            m_layer_avals = tuple(S((8, precision >> i)) for i in range(n_layers))
+            t.append((commit_chain_j, (cols_av, ev)))
+            t.append(
+                (pos_gather_j,
+                 (root8, S((16, precision)), m_layer_avals,
+                  S((64, precision)), m_layer_avals))
+            )
         if _big:
             n_layers = precision.bit_length()  # widths N..1
             layer_avals = tuple(
@@ -813,6 +873,8 @@ def build_proof_stages(
         "m_gather": m_gather_j,
         "linc": linc_j,
         "l_commit": l_commit_j,
+        "commit_chain": None if (_big or gx) else commit_chain,
+        "pos_gather": None if (_big or gx) else pos_gather_j,
         "r": r_j,
         "k": k_j,
         "pos": pos_j,

@@ -339,26 +339,43 @@ def enqueue_r1cs_proof(
             m_tree = mt.DeviceMerkleTree(
                 None, 256, list(m_layers), leaf_word_count=64
             )
+            m_root_w = m_layers[-1][:, 0]
+            k_mont = stages["k"](m_root_w)
+            l_ev = stages["linc"](k_mont, cols)
+            l_words, l_layers = stages["l_commit"](l_ev)
+        elif stages.get("commit_chain") is not None:
+            # one dispatch for the whole statically-chained middle
+            m_words, m_layers, k_mont, l_ev, l_words, l_layers = stages[
+                "commit_chain"
+            ](cols)
+            m_tree = mt.DeviceMerkleTree(m_words, 256, list(m_layers))
+            m_root_w = m_layers[-1][:, 0]
+            del cols
         else:
             m_words, m_layers = stages["m_commit"](cols)
             m_tree = mt.DeviceMerkleTree(m_words, 256, list(m_layers))
-        m_root_w = m_layers[-1][:, 0]
-        k_mont = stages["k"](m_root_w)
-        l_ev = stages["linc"](k_mont, cols)
-        l_words, l_layers = stages["l_commit"](l_ev)
+            m_root_w = m_layers[-1][:, 0]
+            k_mont = stages["k"](m_root_w)
+            l_ev = stages["linc"](k_mont, cols)
+            l_words, l_layers = stages["l_commit"](l_ev)
+            del cols  # the m-tree leaves/layers carry everything from here
         l_tree = mt.DeviceMerkleTree(l_words, 32, list(l_layers))
         l_root_w = l_layers[-1][:, 0]
-        if not big:
-            del cols  # the m-tree leaves/layers carry everything from here
 
     # --- spot checks (prove.rs:337-362) with device-derived positions ---
     with phase("branches"):
-        positions_d, aug_d = stages["pos"](l_root_w)
-        l_flat = l_tree._gather_device(positions_d)
         if big:
+            positions_d, aug_d = stages["pos"](l_root_w)
+            l_flat = l_tree._gather_device(positions_d)
             m_flat = stages["m_gather"](cols, tuple(m_layers), aug_d)
             del cols  # the queued gather holds its own reference
+        elif stages.get("pos_gather") is not None:
+            l_flat, m_flat = stages["pos_gather"](
+                l_root_w, l_words, tuple(l_layers), m_words, tuple(m_layers)
+            )
         else:
+            positions_d, aug_d = stages["pos"](l_root_w)
+            l_flat = l_tree._gather_device(positions_d)
             m_flat = m_tree._gather_device(aug_d)
 
     # --- FRI (prove.rs:367); the l_tree IS FRI round 0's value tree ---
