@@ -29,6 +29,54 @@ import subprocess
 import sys
 
 
+def worker_full(proc_id: int, n_procs: int, devices_per_proc: int, port: int) -> None:
+    """FULL proof across OS processes: every stage (device transcript, both
+    Merkle trees, branch gathers, the FRI recursion, JSON assembly) runs on
+    the global mesh; the assembled proof must be byte-identical to the
+    single-process prover's (`tests/test_multihost.py` asserts the sha)."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={devices_per_proc}"
+    ).strip()
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from stark_tpu.parallel import distributed as dist
+
+    dist.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=n_procs,
+        process_id=proc_id,
+    )
+    import hashlib
+
+    from stark_tpu.protocol import proof as proof_mod
+    from stark_tpu.protocol import runner
+    from stark_tpu.r1cs.synth import squaring_chain
+
+    mesh = dist.global_mesh_1d()
+    d = mesh.devices.size
+    assert d == n_procs * devices_per_proc
+
+    n_constraints = max(44, (d * d * 2) // 3 + 2)
+    r1cs, wb = squaring_chain(n_constraints)
+    proof = runner.prove_with_witness(r1cs, wb, mesh=mesh)
+    js = proof_mod.to_json(proof)
+    sha = hashlib.sha256(js.encode()).hexdigest()
+    if proc_id == 0:
+        out = {
+            "n_procs": n_procs,
+            "devices": d,
+            "n_constraints": n_constraints,
+            "proof_bytes": len(js),
+            "proof_sha256": sha,
+        }
+        print("MULTIHOST_FULL " + json.dumps(out), flush=True)
+    jax.distributed.shutdown()
+
+
 def worker(proc_id: int, n_procs: int, devices_per_proc: int, port: int) -> None:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -105,11 +153,16 @@ def main() -> int:
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--devices-per-proc", type=int, default=4)
     ap.add_argument("--port", type=int, default=0)
+    ap.add_argument(
+        "--full", action="store_true",
+        help="run the FULL proof pipeline (not just the core roots)",
+    )
     ap.add_argument("--worker", type=int, default=-1, help="(internal)")
     args = ap.parse_args()
 
     if args.worker >= 0:
-        worker(args.worker, args.procs, args.devices_per_proc, args.port)
+        fn = worker_full if args.full else worker
+        fn(args.worker, args.procs, args.devices_per_proc, args.port)
         return 0
 
     port = args.port
@@ -139,7 +192,8 @@ def main() -> int:
                     str(args.devices_per_proc),
                     "--port",
                     str(port),
-                ],
+                ]
+                + (["--full"] if args.full else []),
                 env=env,
                 stdout=subprocess.PIPE if pid == 0 else subprocess.DEVNULL,
                 stderr=subprocess.STDOUT if pid == 0 else subprocess.DEVNULL,

@@ -35,9 +35,11 @@ def _enable_persistent_cache() -> None:
 
 
 def _cache_archive(cmd: str, archive: str) -> int:
-    """Pack/unpack the two on-disk caches that make cold start expensive:
-    the persistent XLA compile cache (executables; backend-build keyed) and
-    the CRT/MXU NTT plan tables (backend-independent host math)."""
+    """Pack/unpack the three on-disk caches that make cold start expensive:
+    the persistent XLA compile cache (executables; backend-build keyed),
+    the CRT/MXU NTT plan tables (backend-independent host math), and the
+    AOT stage-executable cache (lets a fresh process skip jit tracing;
+    protocol/aot_cache.py)."""
     import tarfile
 
     cache = os.environ.get(
@@ -46,12 +48,18 @@ def _cache_archive(cmd: str, archive: str) -> int:
     plans = os.path.expanduser(
         os.environ.get("STARK_TPU_PLANS_CACHE", "~/.cache/stark_tpu_plans")
     )
+    aot = os.path.expanduser(
+        os.environ.get("STARK_TPU_AOT_CACHE", "~/.cache/jax_stark_aot")
+    )
+    dirs = (
+        (cache, "jax_stark"), (plans, "stark_tpu_plans"), (aot, "jax_stark_aot")
+    )
     if cmd == "cache-pack":
         n = 0
         # level 1: the payload is mostly already-compressed executables and
         # float tables; level 9 costs minutes of 1-vCPU time for ~5% size
         with tarfile.open(archive, "w:gz", compresslevel=1) as tf:
-            for base, arc in ((cache, "jax_stark"), (plans, "stark_tpu_plans")):
+            for base, arc in dirs:
                 if not os.path.isdir(base):
                     continue
                 for name in sorted(os.listdir(base)):
@@ -64,9 +72,11 @@ def _cache_archive(cmd: str, archive: str) -> int:
             top, _, rest = member.name.partition("/")
             if not rest or rest != os.path.basename(rest):
                 continue  # refuse paths that escape the cache dirs
-            dest = cache if top == "jax_stark" else (
-                plans if top == "stark_tpu_plans" else None
-            )
+            dest = {
+                "jax_stark": cache,
+                "stark_tpu_plans": plans,
+                "jax_stark_aot": aot,
+            }.get(top)
             if dest is None or not member.isfile():
                 continue
             os.makedirs(dest, exist_ok=True)

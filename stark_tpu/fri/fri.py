@@ -90,9 +90,20 @@ def _ys_j(root2_words8, quarter: int, exclude: int):
 
 
 def materialize_u32(arrs):
-    """Move many device uint32 arrays to host in ONE transfer."""
+    """Move many device uint32 arrays to host in ONE transfer.
+
+    Multi-process (`jax.distributed`) jobs hold globally-sharded arrays no
+    single process can address; `process_allgather` assembles the full
+    value on every host (the proof bytes must be identical everywhere)."""
     flat = [a.reshape(-1) for a in arrs]
-    big = np.asarray(jnp.concatenate(flat)).astype("<u4")
+    cat = jnp.concatenate(flat)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        big = np.asarray(multihost_utils.process_allgather(cat, tiled=True))
+        big = big.astype("<u4")
+    else:
+        big = np.asarray(cat).astype("<u4")
     out, off = [], 0
     for a in arrs:
         size = int(np.prod(a.shape))

@@ -575,7 +575,11 @@ def crt_matmul(basis: CrtBasis, plan: CrtMatmulPlan, x_limbs, pre=None):
 
 
 def _crt_matmul_body(basis: CrtBasis, plan: CrtMatmulPlan, x_limbs, pre=None):
+    from stark_tpu.ops import pallas_crt
+
     L, K, B = x_limbs.shape
+    if pallas_crt.use_fused(K * B, plan.kout * B):
+        return pallas_crt.crt_matmul_fused(basis, plan, x_limbs, pre)
     r = basis.reduce_in(x_limbs.reshape(L, K * B)).reshape(-1, K, B)
     if pre is not None:
         prod = r * pre  # < 2^28

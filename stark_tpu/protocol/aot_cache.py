@@ -1,0 +1,160 @@
+"""AOT executable cache: skip per-process jit TRACING, not just compiles.
+
+The persistent compile cache (`jax_compilation_cache_dir`) removes the
+XLA/Mosaic compile wall from a warm host, but every fresh process still
+pays GIL-bound jit lowering (~50-80 s of host tracing at steps 2^16 --
+the round-4 cold-start residual; BASELINE.md "Round-4: cache-pack").
+This module removes the tracing too: the warmup pool already lowers and
+compiles every prover stage, so it additionally SERIALIZES each compiled
+executable (`jax.experimental.serialize_executable`, the same PjRt
+serialization the persistent cache uses); a fresh process then
+`deserialize_and_load`s the executable and calls it directly -- no
+tracing, no compile, matching the reference's AOT-binary standing start
+(`/root/reference/packages/r1cs-stark/src/main.rs:4-11`).
+
+This is NOT the rejected `jax.export` route (BASELINE.md round-4): that
+re-compiled the exported StableHLO in every process and missed the
+persistent cache. Here the serialized artifact IS the final executable.
+
+Keys: (jax version, device kind, stage name, argument aval signature).
+Blobs live in STARK_TPU_AOT_CACHE (default ~/.cache/jax_stark_aot), which
+`cli cache-pack` archives alongside the compile cache.
+
+Enabled on real TPU by default; STARK_TPU_AOT=0 disables, =1 forces on
+CPU (tests). A loaded executable that fails to call (backend change,
+signature drift) falls back to the plain jit path and deletes the blob.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+
+import jax
+
+
+def _enabled() -> bool:
+    v = os.environ.get("STARK_TPU_AOT", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def cache_dir() -> str:
+    d = os.path.expanduser(
+        os.environ.get("STARK_TPU_AOT_CACHE", "~/.cache/jax_stark_aot")
+    )
+    return d
+
+
+def _aval_sig(args, kwargs=None):
+    """Stable signature of a call's argument structure: treedef + per-leaf
+    (shape, dtype), with non-array leaves (python scalars/statics) by repr."""
+    leaves, treedef = jax.tree_util.tree_flatten((args, kwargs or {}))
+    parts = [str(treedef)]
+    for l in leaves:
+        shape = getattr(l, "shape", None)
+        dtype = getattr(l, "dtype", None)
+        if shape is not None and dtype is not None:
+            parts.append(f"{tuple(shape)}:{dtype}")
+        else:
+            parts.append(repr(l)[:64])
+    return "|".join(parts)
+
+
+def _key(name: str, args, kwargs=None) -> str:
+    dev = jax.devices()[0]
+    raw = "\x00".join(
+        [
+            "v2",
+            jax.__version__,
+            getattr(dev, "device_kind", str(dev)),
+            name,
+            _aval_sig(args, kwargs),
+        ]
+    )
+    return name + "-" + hashlib.sha256(raw.encode()).hexdigest()[:24]
+
+
+def _path(key: str) -> str:
+    return os.path.join(cache_dir(), key + ".jaxexec")
+
+
+def save(name: str, args, compiled) -> bool:
+    """Serialize a `Compiled` stage under (name, args-signature). Called by
+    the warmup pool after each target compiles. Best-effort."""
+    if not _enabled():
+        return False
+    try:
+        from jax.experimental import serialize_executable as se
+
+        payload, in_tree, out_tree = se.serialize(compiled)
+        os.makedirs(cache_dir(), exist_ok=True)
+        p = _path(_key(name, args))
+        tmp = p + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        os.replace(tmp, p)
+        return True
+    except Exception:
+        return False
+
+
+def try_load(name: str, args):
+    """Deserialize the stage executable for this call signature, or None."""
+    if not _enabled():
+        return None
+    p = _path(_key(name, args))
+    try:
+        with open(p, "rb") as f:
+            payload, in_tree, out_tree = pickle.load(f)
+        from jax.experimental import serialize_executable as se
+
+        return se.deserialize_and_load(payload, in_tree, out_tree)
+    except FileNotFoundError:
+        return None
+    except Exception:
+        # stale/corrupt blob: drop it so the next build rewrites it
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+        return None
+
+
+class wrap:
+    """Load-first wrapper around a jitted stage: the first call tries the
+    serialized executable (no tracing); on miss or call failure it falls
+    back to the plain jit path permanently for this process."""
+
+    def __init__(self, name: str, jit_fn):
+        self.name = name
+        self.jit_fn = jit_fn
+        self._compiled = None  # None = untried, False = fall back
+        self.__name__ = getattr(jit_fn, "__name__", name)
+
+    def lower(self, *args, **kwargs):  # warmup / profiling passthrough
+        return self.jit_fn.lower(*args, **kwargs)
+
+    def preload(self, example_args) -> bool:
+        """Load the serialized executable using warmup example args (same
+        aval signature as the runtime call). Returns True on success."""
+        if self._compiled in (None, False):
+            c = try_load(self.name, example_args)
+            if c is None:
+                return False
+            self._compiled = c
+        return True
+
+    def __call__(self, *args):
+        if self._compiled is None:
+            self._compiled = try_load(self.name, args) or False
+        if self._compiled is not False:
+            try:
+                return self._compiled(*args)
+            except Exception:
+                self._compiled = False
+        return self.jit_fn(*args)

@@ -173,9 +173,12 @@ def build_staged_prover(
         inv_plan, big_plan = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
         lde_base = jax.jit(lambda t, ip, bp: mxu_ntt.lde_mxu(ip, bp, t))
         lde_j = lambda t: lde_base(t, inv_plan, big_plan)
-        lde_many_base = jax.jit(
-            lambda ts, ip, bp: mxu_ntt.lde_mxu_many(ip, bp, ts)
-        )
+
+        @jax.jit
+        def lde_many_j(ts, ip, bp):
+            return mxu_ntt.lde_mxu_many(ip, bp, ts)
+
+        lde_many_base = lde_many_j
         if precision > _MXU_FUSE_MAX_PRECISION:
             # per-column dispatches: the fused multi-column module's live
             # HLO temps (~1 GB/column in the three-level plan) exceed HBM
@@ -362,7 +365,12 @@ def build_proof_stages(
         from stark_tpu.ops import mxu_ntt
 
         inv_plan, big_plan = mxu_ntt.make_lde_plans(spec, g1, g2, steps, precision)
-        lde_many_base = jax.jit(lambda ts, ip, bp: mxu_ntt.lde_mxu_many(ip, bp, ts))
+
+        @jax.jit
+        def lde_many_j(ts, ip, bp):
+            return mxu_ntt.lde_mxu_many(ip, bp, ts)
+
+        lde_many_base = lde_many_j
         if precision > _MXU_FUSE_MAX_PRECISION:
             # see build_staged_prover: fused multi-column modules OOM >2^20
             lde_many = lambda ts: [
@@ -812,7 +820,18 @@ def build_proof_stages(
 
         shard = NamedSharding(mesh, P(None, "d"))
         repl = NamedSharding(mesh, P(None, None))
-        xs_full = jax.device_put(xs_full, shard)
+        # multi-process jobs (jax.distributed) cannot device_put to other
+        # hosts' devices: build global arrays shard-by-shard instead
+        _multiproc = jax.process_count() > 1
+
+        def _gput(x, pspec):
+            if _multiproc:
+                from stark_tpu.parallel import distributed as dist
+
+                return dist.put_global(np.asarray(x), mesh, pspec)
+            return jax.device_put(x, NamedSharding(mesh, pspec))
+
+        xs_full = _gput(xs_full, P(None, "d"))
         sharded_cols = psh.build_sharded_columns_step(
             spec, mesh, steps, precision, original_steps
         )
@@ -825,11 +844,9 @@ def build_proof_stages(
         def put_rows(x):
             """Host (N, ...) arrays sharded contiguously on the row axis."""
             nd = getattr(x, "ndim", 1)
-            return jax.device_put(
-                x, NamedSharding(mesh, P(*(("d",) + (None,) * (nd - 1))))
-            )
+            return _gput(x, P(*(("d",) + (None,) * (nd - 1))))
 
-        put_repl = lambda x: jax.device_put(x, repl)
+        put_repl = lambda x: _gput(x, P(None, None))
     else:
 
         def columns(traces, r_mont, i2_mont, b2in):
@@ -852,9 +869,68 @@ def build_proof_stages(
             put_rows = jnp.asarray
             put_repl = jnp.asarray
 
+    # --- AOT executable cache (single-device only): replace each stage jit
+    # with a load-first wrapper so a fresh process skips TRACING when the
+    # warmup pool has serialized the executables (see protocol/aot_cache).
+    # Late binding makes every closure above (columns/rest_a/linc/...) and
+    # warm_targets see the wrappers.
+    from stark_tpu.protocol import aot_cache as _aot
+
+    if _aot._enabled() and not gx:
+        to_mont_j = _aot.wrap("to_mont_j", to_mont_j)
+        traces_j = _aot.wrap("traces_j", traces_j)
+        wit_traces_j = _aot.wrap("wit_traces_j", wit_traces_j)
+        v_cols_j = _aot.wrap("v_cols_j", v_cols_j)
+        a_root_j = _aot.wrap("a_root_j", a_root_j)
+        acc_j = _aot.wrap("acc_j", acc_j)
+        rest_a_j = _aot.wrap("rest_a_j", rest_a_j)
+        if inv_zb2_j is not None:
+            inv_zb2_j = _aot.wrap("inv_zb2_j", inv_zb2_j)
+        m_commit_j = _aot.wrap("m_commit_j", m_commit_j)
+        m_commit_stream_j = _aot.wrap("m_commit_stream_j", m_commit_stream_j)
+        m_gather_j = _aot.wrap("m_gather_j", m_gather_j)
+        linc_base_j = _aot.wrap("linc_base_j", linc_base_j)
+        l_commit_j = _aot.wrap("l_commit_j", l_commit_j)
+        r_j = _aot.wrap("r_j", r_j)
+        k_j = _aot.wrap("k_j", k_j)
+        pos_j = _aot.wrap("pos_j", pos_j)
+        commit_chain_j = _aot.wrap("commit_chain_j", commit_chain_j)
+        pos_gather_j = _aot.wrap("pos_gather_j", pos_gather_j)
+        if use_mxu:
+            lde_many_base = _aot.wrap("lde_many_j", lde_many_base)
+        elif lde_many is not None:
+            lde_base = _aot.wrap("lde_base", lde_base)
+
+    def resident_bytes():
+        """Device bytes this stage set holds RESIDENT between dispatches
+        (domain tables + NTT plan tables + Shoup patterns). Per-circuit
+        caches (Zb2^-1 table, device statics, retained tree layers) are
+        owned by callers and accounted separately (bench.py)."""
+        groups = {
+            "xs_full": [xs_full],
+            "domain_tables": [
+                t for t in (inv_z_full, x2s_full, inv_zb3) if t is not None
+            ],
+            "shoup_patterns": [t for t in (iz_pats, x2_pats) if t is not None],
+        }
+        if use_mxu:
+            groups["ntt_plan_tables"] = [inv_plan, big_plan]
+        elif not gx:
+            groups["ntt_plan_tables"] = [lde_plan]
+        return {
+            k: int(
+                sum(
+                    getattr(l, "nbytes", 0)
+                    for l in jax.tree_util.tree_leaves(v)
+                )
+            )
+            for k, v in groups.items()
+        }
+
     return {
         "xs_full": xs_full,
         "to_mont": to_mont_j,
+        "resident_bytes": resident_bytes,
         "traces": traces_j,
         "wit_traces": wit_traces_j,
         "v_cols": v_cols_j,

@@ -131,13 +131,25 @@ def warmup_prover(
         # frontends would serialize the whole warmup)
         threads = int(os.environ.get("STARK_TPU_WARMUP_THREADS", 0)) or 16
 
-    def compile_one(ta):
-        fn, args = ta
-        fn.lower(*args).compile()
-
     with ThreadPoolExecutor(max_workers=threads) as ex:
-        list(ex.map(compile_one, targets))
+        list(ex.map(_compile_or_load_one, targets))
     return len(targets)
+
+
+def _compile_or_load_one(ta):
+    """One warmup target: if the stage is an AOT-cache wrapper with a
+    serialized executable on disk, LOAD it (no tracing, no compile);
+    otherwise lower+compile (persistent-cache hits skip the compile) and,
+    for wrapped stages, serialize the executable for the next process."""
+    from stark_tpu.protocol import aot_cache
+
+    fn, args = ta
+    if isinstance(fn, aot_cache.wrap) and fn.preload(args):
+        return
+    compiled = fn.lower(*args).compile()
+    if isinstance(fn, aot_cache.wrap):
+        aot_cache.save(fn.name, args, compiled)
+        fn._compiled = compiled
 
 
 _warmed: set = set()
@@ -222,11 +234,11 @@ def maybe_warmup(
             def worker():
                 while True:
                     try:
-                        fn, args = q.get_nowait()
+                        ta = q.get_nowait()
                     except queue.Empty:
                         return
                     try:
-                        fn.lower(*args).compile()
+                        _compile_or_load_one(ta)
                     except Exception:
                         pass
 

@@ -25,7 +25,12 @@ PHASE_OF = {
     "a_root_j": "a_tree",
     "acc_j": "columns",
     "rest_a_j": "columns",
-    "<lambda>": "columns",  # lde_many_base
+    "lde_many_j": "columns",  # the fused multi-column CRT/MXU LDE batch
+    "commit_chain_j": "commits",
+    "pos_gather_j": "branches",
+    "m_commit_stream_j": "commits",
+    "m_gather_j": "branches",
+    "inv_zb2_j": None,  # per-circuit, not per-prove
     "m_commit_j": "commits",
     "linc_base_j": "commits",
     "l_commit_j": "commits",
@@ -88,6 +93,79 @@ def phase_walls(top_only: bool = True):
 
     walk(tracing._root)
     return phases
+
+
+def parse_device_trace(outdir: str, phase_names=None):
+    """Parse the newest Chrome trace under `outdir` into device-timeline
+    numbers: total device-busy seconds, per-kernel totals, MXU (dot/conv)
+    kernel time, and -- when `phase_names` is given and the trace came from
+    a STARK_TPU_SYNC_PHASES=1 run -- per-phase device time, segmented at
+    the named `stark_phase_barrier` envelopes the tracing barrier emits."""
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(f"{outdir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return None
+    with gzip.open(paths[-1]) as f:
+        d = json.load(f)
+    evs = d.get("traceEvents", [])
+    pid_names = {
+        e["pid"]: e.get("args", {}).get("name", "")
+        for e in evs
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    tpu_pids = {p for p, n in pid_names.items() if "TPU" in n}
+    kernels: dict = {}
+    busy = 0.0
+    mxu_us = 0.0
+    spans = []
+    barriers = []
+    for e in evs:
+        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            continue
+        name = e.get("name", "?")
+        ts, dur = float(e.get("ts", 0.0)), float(e.get("dur", 0.0))
+        if "stark_phase_barrier" in name:
+            barriers.append(ts + dur)
+            continue
+        if name.startswith("jit_") or name.startswith("pjit"):
+            continue
+        k = name.split("(")[0][:60]
+        kernels[k] = kernels.get(k, 0.0) + dur
+        busy += dur
+        if "dot" in k or "conv" in k or "matmul" in k.lower():
+            mxu_us += dur
+        spans.append((ts, dur))
+    out = {
+        "device_busy_s": round(busy / 1e6, 4),
+        "mxu_kernel_s": round(mxu_us / 1e6, 4),
+        "top_kernels_ms": {
+            k: round(v / 1e3, 2)
+            for k, v in sorted(kernels.items(), key=lambda kv: -kv[1])[:12]
+        },
+    }
+    if phase_names and barriers:
+        barriers.sort()
+        spans.sort()
+        per = [0.0] * (len(barriers) + 1)
+        bi = 0
+        for ts, dur in spans:
+            while bi < len(barriers) and ts >= barriers[bi]:
+                bi += 1
+            per[bi] += dur
+        # one barrier fires at the END of each phase, in order
+        dev_phases = {}
+        for i, name in enumerate(phase_names[: len(barriers)]):
+            dev_phases[name] = dev_phases.get(name, 0.0) + per[i] / 1e6
+        if per[len(barriers)]:
+            dev_phases["(after_last_barrier)"] = per[len(barriers)] / 1e6
+        out["phase_device_s"] = {
+            k: round(v, 4)
+            for k, v in sorted(dev_phases.items(), key=lambda kv: -kv[1])
+        }
+    return out
 
 
 def stage_memory_peaks(spec, steps, precision, original_steps, n_pub, n_wires):

@@ -46,6 +46,7 @@ class _Node:
 
 _root = _Node("root")
 _stack = [_root]
+_exit_log: list = []  # phase names in barrier order (SYNC_PHASES runs)
 
 
 def enabled() -> bool:
@@ -83,6 +84,7 @@ def phase(name: str, sync=None):
             jax.block_until_ready(sync)
         elif os.environ.get("STARK_TPU_SYNC_PHASES", "") not in ("", "0"):
             _device_barrier()
+            _exit_log.append(name)  # one barrier per exit, in device order
         node.elapsed += time.perf_counter() - t0
         node.calls += 1
         _stack.pop()
@@ -90,13 +92,25 @@ def phase(name: str, sync=None):
             print(report(node))
 
 
+_barrier_fn = None
+
+
 def _device_barrier():
     """Block until all device work enqueued so far completes (see the
-    STARK_TPU_SYNC_PHASES doc above for why this works on TPU)."""
+    STARK_TPU_SYNC_PHASES doc above for why this works on TPU). The
+    barrier runs as a NAMED jit so device-trace parsers can use its
+    envelope events as phase separators (`profiling.parse_device_trace`)."""
+    global _barrier_fn
     import jax
-    import jax.numpy as jnp
 
-    jax.block_until_ready(jnp.zeros((), jnp.uint32) + jnp.uint32(1))
+    if _barrier_fn is None:
+        import jax.numpy as jnp
+
+        def stark_phase_barrier():
+            return jnp.zeros((), jnp.uint32) + jnp.uint32(1)
+
+        _barrier_fn = jax.jit(stark_phase_barrier)
+    jax.block_until_ready(_barrier_fn())
 
 
 def sync_point(value):
@@ -122,7 +136,13 @@ def report(node: _Node | None = None, indent: int = 0) -> str:
     return "\n".join(lines)
 
 
+def exit_log() -> list:
+    """Phase names in the order their sync barriers fired (one each)."""
+    return list(_exit_log)
+
+
 def reset():
     global _root, _stack
     _root = _Node("root")
     _stack = [_root]
+    _exit_log.clear()

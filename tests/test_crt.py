@@ -208,3 +208,32 @@ def test_crt_matmul_pre_edge_values(basis):
         for bb in range(b):
             want = sum(w[kk][j] * tvals[j][bb] * xs[j][bb] for j in range(k)) % P
             assert got[bb] == want, (kk, bb)
+
+
+def test_crt_matmul_fused_matches_xla(basis, monkeypatch):
+    """The fused Pallas pipeline (residues_in + matmul_fold + reconstruct,
+    interpret mode here) is bit-identical to the XLA `_crt_matmul_body` on
+    the same inputs, with and without a pre-table."""
+    from stark_tpu.ops import pallas_crt
+
+    rng = np.random.default_rng(11)
+    K, B, KOUT = 128, 16, 128  # K*B = 2048 = RTILE; KOUT*B % TILE == 0
+    w = [[int(rng.integers(0, 2**63)) ** 3 % P for _ in range(K)]
+         for _ in range(KOUT)]
+    plan = crt.CrtMatmulPlan(basis, w)
+    x = rng.integers(0, 1 << 16, size=(16, K, B)).astype(np.uint32)
+    xj = jnp.asarray(x)
+    pre = rng.integers(
+        0, np.asarray(basis.qs_host)[:, None, None],
+        size=(len(basis.qs_host), K, B),
+    ).astype(np.uint32)
+    prej = jnp.asarray(pre)
+
+    monkeypatch.setenv("STARK_TPU_CRT_FUSED", "0")
+    ref = np.asarray(crt._crt_matmul_body(basis, plan, xj))
+    ref_pre = np.asarray(crt._crt_matmul_body(basis, plan, xj, prej))
+    monkeypatch.setenv("STARK_TPU_CRT_FUSED", "force")
+    got = np.asarray(pallas_crt.crt_matmul_fused(basis, plan, xj))
+    got_pre = np.asarray(pallas_crt.crt_matmul_fused(basis, plan, xj, prej))
+    assert np.array_equal(ref, got)
+    assert np.array_equal(ref_pre, got_pre)
