@@ -44,6 +44,7 @@ def ntt_sharded_local(
     w_m_half,
     tw_local,
     n_inv_mont=None,
+    m_plan=None,
 ):
     """Per-device body (call under shard_map) of the four-step NTT.
 
@@ -53,6 +54,11 @@ def ntt_sharded_local(
     tw_local: (L, d, M/d) twiddles w_N^(n2*k1) for this device's n2 chunk
               (k1 = axis 1, n2 = q*M/d + j with q = this device).
     n_inv_mont: optional (L, 1) Montgomery 1/N for the inverse transform.
+    m_plan: optional `mxu_ntt.MxuNttPlan` for the LOCAL M-point DFT at
+            root w_N^d -- routes step 5 onto the MXU (CRT matmul engine)
+            instead of the VPU butterflies; bit-identical by construction
+            (same DFT values, canonical limbs out). The collectives and
+            layout are unchanged, so ICI traffic is identical.
     Returns (L, M): chunk of the DFT in natural contiguous sharding.
     """
     L, M = x_local.shape
@@ -72,7 +78,12 @@ def ntt_sharded_local(
     a = jax.lax.all_to_all(a, axis_name, split_axis=1, concat_axis=1, tiled=False)
     a = a.reshape(L, M)
     # step 5: M-point DFT over n2 -> k2
-    a = _ntt_core(spec, a, w_m_half)
+    if m_plan is not None:
+        from stark_tpu.ops import mxu_ntt
+
+        a = mxu_ntt.ntt_mxu(m_plan, a)
+    else:
+        a = _ntt_core(spec, a, w_m_half)
     # step 6: restore natural contiguous sharding of X[k1 + d*k2]
     a = a.reshape(L, d, M // d)
     a = jax.lax.all_to_all(a, axis_name, split_axis=1, concat_axis=1, tiled=False)

@@ -90,6 +90,7 @@ def lde_local(
     prec_tabs,
     n_inv_mont,
     ext: int,
+    m_plans=(None, None),
 ):
     """Per-device LDE: sharded iNTT on the steps domain, all_gather the
     coefficients, local zero-pad slice, sharded NTT on the precision
@@ -116,6 +117,7 @@ def lde_local(
         w_m_half=steps_tabs[1],
         tw_local=tw_slice(steps_tabs[2]),
         n_inv_mont=n_inv_mont,
+        m_plan=m_plans[0],
     )
     # gather all coefficients (steps is 8x smaller than precision)
     coeffs = jax.lax.all_gather(coeff_local, axis_name, axis=1, tiled=True)
@@ -134,7 +136,27 @@ def lde_local(
         w_d_half=prec_tabs[0],
         w_m_half=prec_tabs[1],
         tw_local=tw_slice(prec_tabs[2]),
+        m_plan=m_plans[1],
     )
+
+
+def _use_mesh_mxu(spec, steps: int, precision: int, d: int) -> bool:
+    """Route the sharded body's LOCAL M-point DFTs onto the CRT/MXU matmul
+    engine (VERDICT r4 #7)? Same auto policy as the single-chip engine,
+    bounded by the two-level plan's exactness limit (local M <= 2^20).
+    STARK_TPU_MESH_MXU=0/1 overrides."""
+    import os
+
+    from stark_tpu.ops import ntt as nttm
+
+    env = os.environ.get("STARK_TPU_MESH_MXU", "auto")
+    if env == "0":
+        return False
+    if precision // d > 1 << 20 or steps // d < 4 or spec.num_limbs != 16:
+        return False
+    if env == "1":
+        return True
+    return nttm.use_mxu_lde(steps, precision)
 
 
 def _make_domain(spec: FieldSpec, mesh: Mesh, steps: int, precision: int):
@@ -145,6 +167,19 @@ def _make_domain(spec: FieldSpec, mesh: Mesh, steps: int, precision: int):
     g2 = spec.root_of_unity(precision)
     g1 = pow(g2, skips, p)
     omega = pow(g2, steps, p)
+    # per-device MXU plans for the local M-point DFTs of the four-step
+    # transforms (step 5 of ntt4.ntt_sharded_local); roots are w_N^d of
+    # the (inverse) steps transform and the forward precision transform
+    m_plan_steps = m_plan_prec = None
+    if _use_mesh_mxu(spec, steps, precision, int(d)):
+        from stark_tpu.ops import mxu_ntt
+
+        m_plan_steps = mxu_ntt.make_ntt_plan_cached(
+            spec, pow(spec.inv(g1), int(d), p), steps // int(d)
+        )
+        m_plan_prec = mxu_ntt.make_ntt_plan_cached(
+            spec, pow(g2, int(d), p), precision // int(d)
+        )
     return {
         "d": d,
         "skips": skips,
@@ -152,6 +187,8 @@ def _make_domain(spec: FieldSpec, mesh: Mesh, steps: int, precision: int):
         "g2": g2,
         "steps_tabs_inv": ntt4.make_tables(spec, g1, steps, d, inverse=True),
         "prec_tabs": ntt4.make_tables(spec, g2, precision, d),
+        "m_plan_steps": m_plan_steps,
+        "m_plan_prec": m_plan_prec,
         "n_inv": mm.mont_const(spec, spec.inv(steps)),
         "inv_z_scalars": [0]
         + [pow((pow(omega, t, p) - 1) % p, p - 2, p) for t in range(1, skips)],
@@ -170,7 +207,8 @@ def _columns_body(
     d, skips = dom["d"], dom["skips"]
     kshift = original_steps // 3 * skips
     lde = lambda t: lde_local(
-        spec, t, axis, d, dom["steps_tabs_inv"], dom["prec_tabs"], dom["n_inv"], skips
+        spec, t, axis, d, dom["steps_tabs_inv"], dom["prec_tabs"], dom["n_inv"],
+        skips, m_plans=(dom["m_plan_steps"], dom["m_plan_prec"]),
     )
     k_ev = lde(traces["k"])
     f0_ev = lde(traces["f0"])
