@@ -103,6 +103,10 @@ def save(name: str, args, compiled) -> bool:
         return False
 
 
+def _debug() -> bool:
+    return os.environ.get("STARK_TPU_AOT_DEBUG", "0") == "1"
+
+
 def try_load(name: str, args):
     """Deserialize the stage executable for this call signature, or None."""
     if not _enabled():
@@ -115,8 +119,12 @@ def try_load(name: str, args):
 
         return se.deserialize_and_load(payload, in_tree, out_tree)
     except FileNotFoundError:
+        if _debug():
+            print(f"AOT miss {name}: no blob {os.path.basename(p)}", flush=True)
         return None
-    except Exception:
+    except Exception as e:
+        if _debug():
+            print(f"AOT load failed {name}: {type(e).__name__}: {e}", flush=True)
         # stale/corrupt blob: drop it so the next build rewrites it
         try:
             os.unlink(p)
@@ -134,6 +142,7 @@ class wrap:
         self.name = name
         self.jit_fn = jit_fn
         self._compiled = None  # None = untried, False = fall back
+        self._validated = False  # first loaded call blocks to smoke-test
         self.__name__ = getattr(jit_fn, "__name__", name)
 
     def lower(self, *args, **kwargs):  # warmup / profiling passthrough
@@ -154,7 +163,26 @@ class wrap:
             self._compiled = try_load(self.name, args) or False
         if self._compiled is not False:
             try:
-                return self._compiled(*args)
-            except Exception:
+                out = self._compiled(*args)
+                if not self._validated:
+                    # a broken deserialized executable fails ASYNC (the
+                    # error would surface at materialize time and poison
+                    # the whole proof chain); block once on the first
+                    # call's outputs so the failure is catchable HERE,
+                    # then drop the blob and recompute via the jit path
+                    jax.block_until_ready(out)
+                    self._validated = True
+                return out
+            except Exception as e:
+                if _debug():
+                    print(
+                        f"AOT call failed {self.name}: "
+                        f"{type(e).__name__}: {str(e)[:300]}",
+                        flush=True,
+                    )
+                try:
+                    os.unlink(_path(_key(self.name, args)))
+                except OSError:
+                    pass
                 self._compiled = False
         return self.jit_fn(*args)

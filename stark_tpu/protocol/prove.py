@@ -255,9 +255,16 @@ def enqueue_r1cs_proof(
                 )
                 arith._device_statics = statics
             _, k_d, wids_d, f1_d, f2_d, plo_d, phi_d = statics
+            wit = arith.witness_le
+            if isinstance(wit, jax.Array):
+                # serving path: the witness was pre-uploaded (async H2D)
+                # while the PREVIOUS proof materialized (runner.prove_many)
+                wit_d = wit
+            else:
+                wit_d = put_repl(_col_bytes_np(spec, wit))
             traces = stages["wit_traces"](
                 k_d,
-                put_repl(_col_bytes_np(spec, arith.witness_le)),
+                wit_d,
                 wids_d,
                 f1_d,
                 f2_d,

@@ -150,6 +150,7 @@ def _compile_or_load_one(ta):
     if isinstance(fn, aot_cache.wrap):
         aot_cache.save(fn.name, args, compiled)
         fn._compiled = compiled
+        fn._validated = True  # freshly compiled, not a deserialized blob
 
 
 _warmed: set = set()

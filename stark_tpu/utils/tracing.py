@@ -42,6 +42,19 @@ class _Node:
     elapsed: float = 0.0
     calls: int = 0
     children: dict = field(default_factory=dict)
+    rss_end_kb: int = 0  # VmRSS at last exit (STARK_TPU_RSS=1 runs)
+    rss_delta_kb: int = 0  # summed enter->exit VmRSS growth
+
+
+def _vmrss_kb() -> int:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
 
 
 _root = _Node("root")
@@ -73,6 +86,7 @@ def phase(name: str, sync=None):
         import jax
 
         prof = jax.profiler.trace(_profile_dir())
+    rss0 = _vmrss_kb() if os.environ.get("STARK_TPU_RSS") == "1" else None
     t0 = time.perf_counter()
     try:
         with prof:
@@ -87,6 +101,9 @@ def phase(name: str, sync=None):
             _exit_log.append(name)  # one barrier per exit, in device order
         node.elapsed += time.perf_counter() - t0
         node.calls += 1
+        if rss0 is not None:
+            node.rss_end_kb = _vmrss_kb()
+            node.rss_delta_kb += node.rss_end_kb - rss0
         _stack.pop()
         if top and enabled():
             print(report(node))
@@ -127,9 +144,14 @@ def report(node: _Node | None = None, indent: int = 0) -> str:
         node = _root
         lines = []
     else:
+        rss = (
+            f"  rss {node.rss_end_kb / 1024:8.0f} MB ({node.rss_delta_kb / 1024:+.0f})"
+            if node.rss_end_kb
+            else ""
+        )
         lines = [
             f"{'  ' * indent}{node.name:<{max(28 - 2 * indent, 1)}s}"
-            f" {node.elapsed * 1e3:10.1f} ms  x{node.calls}"
+            f" {node.elapsed * 1e3:10.1f} ms  x{node.calls}{rss}"
         ]
     for child in node.children.values():
         lines.append(report(child, indent + 1))
