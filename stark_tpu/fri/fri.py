@@ -289,6 +289,18 @@ def _fri_chain_j(
     return tuple(outs)
 
 
+# AOT executable cache (protocol/aot_cache): the fused chain is the single
+# biggest trace (the whole ~7-round recursion inlines here), so skipping
+# its per-process lowering is the largest cold-start win after the core
+# stages. Statics enter the cache key via repr; the Compiled call takes
+# dynamic args only.
+from stark_tpu.protocol import aot_cache as _aot  # noqa: E402
+
+_fri_chain_j = _aot.wrap(
+    "_fri_chain_j", _fri_chain_j, static_argnums=(0, 1, 2, 3, 4)
+)
+
+
 def prove_low_degree_pending(
     spec: FieldSpec,
     values_mont,

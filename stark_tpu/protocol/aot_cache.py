@@ -134,44 +134,67 @@ def try_load(name: str, args):
 
 
 class wrap:
-    """Load-first wrapper around a jitted stage: the first call tries the
-    serialized executable (no tracing); on miss or call failure it falls
-    back to the plain jit path permanently for this process."""
+    """Load-first wrapper around a jitted stage: per call signature, the
+    first call tries the serialized executable (no tracing); on miss or
+    call failure it falls back to the plain jit path for that signature.
 
-    def __init__(self, name: str, jit_fn):
+    `static_argnums`: positions the underlying jit treats as static (they
+    enter the KEY via repr but are stripped from the Compiled call, which
+    takes dynamic args only). One wrapper serves many signatures (e.g.
+    the FRI round kernels at 7 shrinking shapes): the memo is keyed per
+    signature."""
+
+    def __init__(self, name: str, jit_fn, static_argnums=()):
         self.name = name
         self.jit_fn = jit_fn
-        self._compiled = None  # None = untried, False = fall back
-        self._validated = False  # first loaded call blocks to smoke-test
+        self.static_argnums = frozenset(static_argnums)
+        self._memo: dict = {}  # key -> Compiled | False
+        self._validated: set = set()  # keys whose first call was checked
         self.__name__ = getattr(jit_fn, "__name__", name)
 
     def lower(self, *args, **kwargs):  # warmup / profiling passthrough
         return self.jit_fn.lower(*args, **kwargs)
 
+    def _dynamic(self, args):
+        if not self.static_argnums:
+            return args
+        return tuple(
+            a for i, a in enumerate(args) if i not in self.static_argnums
+        )
+
     def preload(self, example_args) -> bool:
         """Load the serialized executable using warmup example args (same
         aval signature as the runtime call). Returns True on success."""
-        if self._compiled in (None, False):
+        k = _key(self.name, example_args)
+        if self._memo.get(k) in (None, False):
             c = try_load(self.name, example_args)
             if c is None:
                 return False
-            self._compiled = c
+            self._memo[k] = c
         return True
 
+    def _store(self, example_args, compiled):
+        """Warmup hook: freshly compiled executable for these avals."""
+        k = _key(self.name, example_args)
+        self._memo[k] = compiled
+        self._validated.add(k)
+
     def __call__(self, *args):
-        if self._compiled is None:
-            self._compiled = try_load(self.name, args) or False
-        if self._compiled is not False:
+        k = _key(self.name, args)
+        c = self._memo.get(k)
+        if c is None:
+            c = self._memo[k] = try_load(self.name, args) or False
+        if c is not False:
             try:
-                out = self._compiled(*args)
-                if not self._validated:
+                out = c(*self._dynamic(args))
+                if k not in self._validated:
                     # a broken deserialized executable fails ASYNC (the
                     # error would surface at materialize time and poison
                     # the whole proof chain); block once on the first
                     # call's outputs so the failure is catchable HERE,
                     # then drop the blob and recompute via the jit path
                     jax.block_until_ready(out)
-                    self._validated = True
+                    self._validated.add(k)
                 return out
             except Exception as e:
                 if _debug():
@@ -181,8 +204,8 @@ class wrap:
                         flush=True,
                     )
                 try:
-                    os.unlink(_path(_key(self.name, args)))
+                    os.unlink(_path(k))
                 except OSError:
                     pass
-                self._compiled = False
+                self._memo[k] = False
         return self.jit_fn(*args)

@@ -380,7 +380,12 @@ def build_proof_stages(
             lde_many = lambda ts: lde_many_base(ts, inv_plan, big_plan)
     elif not gx:
         lde_plan = nttm.make_lde_plan(spec, g1, g2, steps, precision)
-        lde_base = jax.jit(lambda t, pl: nttm.lde(spec, t, pl))
+
+        @jax.jit
+        def lde_butterfly_j(t, pl):
+            return nttm.lde(spec, t, pl)
+
+        lde_base = lde_butterfly_j
         lde_many = lambda ts: [lde_base(t, lde_plan) for t in ts]
     else:
         lde_many = None  # d>1: LDEs live inside the shard_map columns step

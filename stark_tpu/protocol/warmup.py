@@ -44,6 +44,23 @@ def _fri_targets(spec: FieldSpec, precision: int, skips: int):
     S = lambda sh, dt=jnp.uint32: jax.ShapeDtypeStruct(sh, dt)
     root8 = S((8,))
     t = []
+    # the production FRI path: the ENTIRE recursion as one fused jit
+    # (prove_low_degree_pending with a caller-committed first tree).
+    # Without this target a cold first prove pays its full trace+compile
+    # serially at the FRI phase.
+    n_rounds = fri._n_rounds(precision // 4, fri.MIN_DEG_DIRECT_CHECKING)
+    t.append(
+        (
+            fri._fri_chain_j,
+            (
+                spec, n_rounds, skips, None, "blake2s",
+                S((L, precision)), S((L, precision)), S((16, precision)),
+                # ALL tree layers incl. the (8, 1) root (the chain reads
+                # layers[-1][:, 0]); _layer_avals stops above width 1
+                _layer_avals(precision) + (S((8, 1)),),
+            ),
+        )
+    )
     n, mdp = precision, precision // 4
     first = True
     while mdp > fri.MIN_DEG_DIRECT_CHECKING:
@@ -149,8 +166,7 @@ def _compile_or_load_one(ta):
     compiled = fn.lower(*args).compile()
     if isinstance(fn, aot_cache.wrap):
         aot_cache.save(fn.name, args, compiled)
-        fn._compiled = compiled
-        fn._validated = True  # freshly compiled, not a deserialized blob
+        fn._store(args, compiled)
 
 
 _warmed: set = set()

@@ -26,6 +26,7 @@ PHASE_OF = {
     "acc_j": "columns",
     "rest_a_j": "columns",
     "lde_many_j": "columns",  # the fused multi-column CRT/MXU LDE batch
+    "lde_butterfly_j": "columns",  # the per-column butterfly-engine LDE
     "commit_chain_j": "commits",
     "pos_gather_j": "branches",
     "m_commit_stream_j": "commits",

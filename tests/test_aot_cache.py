@@ -67,7 +67,7 @@ if role == "prove":
     for v in stages.values():
         if isinstance(v, aot_cache.wrap):
             n_wrapped += 1
-            if v._compiled not in (None, False):
+            if any(c is not False for c in v._memo.values()):
                 n_loaded += 1
 print("CHILD " + json.dumps({
     "role": role,
