@@ -80,6 +80,12 @@ def slot_wire_ids_np(
         n_r = ncoeffs[ci, r]
         valid = i_within < n_r
         gidx = prefix[ci, r] + np.minimum(i_within, np.maximum(n_r - 1, 0))
+        # np.where evaluates the gather for MASKED lanes too: a region
+        # with ZERO coefficients (legal R1CS -- pedersen_test has empty
+        # factors) clamps to prefix+0, which for the final such region
+        # points one past the end of wire_ids. Clamp; masked lanes take
+        # the n_wires-1 pad wire regardless (run.rs:166-171).
+        gidx = np.minimum(gidx, max(len(wire_ids) - 1, 0))
         out[r * a_len : (r + 1) * a_len] = np.where(
             valid, wire_ids[gidx] if len(wire_ids) else 0, n_wires - 1
         )

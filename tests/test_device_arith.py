@@ -46,3 +46,26 @@ def test_device_arith_proof_is_byte_identical(monkeypatch):
     assert dev == legacy
     ok = runner.verify_with_witness(r1cs, wb[:2], proof_mod.from_json(dev))
     assert ok
+
+
+@pytest.mark.quick
+def test_slot_wire_ids_empty_region():
+    """A factor with ZERO coefficients (legal R1CS; pedersen_test has
+    them) must take the n_wires-1 pad wire for the whole region -- and
+    must not index past wire_ids when the empty region is the last one
+    (the clamped gather np.where evaluates eagerly; caught by the
+    round-5 pedersen re-run)."""
+    from stark_tpu.r1cs.arithmetize import slot_wire_ids_np
+
+    # constraint 0: |A|=2, |B|=0, |C|=1 ; constraint 1: |A|=1, |B|=1, |C|=0
+    ncoeffs = np.array([[2, 0, 1], [1, 1, 0]])
+    wire_ids = np.array([5, 6, 7, 8, 9], dtype=np.uint32)  # flat (con, region)
+    n_wires = 100
+    out = slot_wire_ids_np(ncoeffs, wire_ids, n_wires)
+    a_len = 3  # max widths: 2 + 1
+    A = out[:a_len].tolist()
+    B = out[a_len : 2 * a_len].tolist()
+    C = out[2 * a_len :].tolist()
+    assert A == [5, 6, 8]
+    assert B == [99, 99, 9]  # empty region -> all pad
+    assert C == [7, 99, 99]  # |C2|=0 is the LAST region: was the crash
