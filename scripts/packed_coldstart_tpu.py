@@ -68,10 +68,13 @@ print("CHILD " + json.dumps({
 """
 
 
-def _run_child(cache, plans, extra_env=None, log=None):
+def _run_child(cache, plans, aot, extra_env=None, log=None):
     env = dict(os.environ)
     env["STARK_TPU_CACHE"] = cache
     env["STARK_TPU_PLANS_CACHE"] = plans
+    # per-phase AOT dir: phase B must get its blobs ONLY via the unpacked
+    # archive, never by sharing phase A's directory
+    env["STARK_TPU_AOT_CACHE"] = aot
     env.update(extra_env or {})
     t0 = time.time()
     out = subprocess.run(
@@ -95,18 +98,19 @@ def _run_child(cache, plans, extra_env=None, log=None):
 
 def main():
     base = tempfile.mkdtemp(prefix="stark_packed_cold_")
-    a_cache, a_plans = f"{base}/a_cache", f"{base}/a_plans"
-    b_cache, b_plans = f"{base}/b_cache", f"{base}/b_plans"
+    a_cache, a_plans, a_aot = f"{base}/a_cache", f"{base}/a_plans", f"{base}/a_aot"
+    b_cache, b_plans, b_aot = f"{base}/b_cache", f"{base}/b_plans", f"{base}/b_aot"
     archive = f"{base}/warm.tar.gz"
-    for d in (a_cache, a_plans, b_cache, b_plans):
+    for d in (a_cache, a_plans, a_aot, b_cache, b_plans, b_aot):
         os.makedirs(d)
 
     print("phase A: build cache from empty (cold compiles)...", flush=True)
-    a = _run_child(a_cache, a_plans, log="/tmp/packed_cold_a.log")
+    a = _run_child(a_cache, a_plans, a_aot, log="/tmp/packed_cold_a.log")
     print("A " + json.dumps(a), flush=True)
 
     t0 = time.time()
-    env = dict(os.environ, STARK_TPU_CACHE=a_cache, STARK_TPU_PLANS_CACHE=a_plans)
+    env = dict(os.environ, STARK_TPU_CACHE=a_cache, STARK_TPU_PLANS_CACHE=a_plans,
+               STARK_TPU_AOT_CACHE=a_aot)
     subprocess.run(
         [sys.executable, "-m", "stark_tpu.cli", "cache-pack", archive],
         check=True, env=env, cwd=REPO,
@@ -115,7 +119,8 @@ def main():
     mb = os.path.getsize(archive) / 2**20
 
     t0 = time.time()
-    env = dict(os.environ, STARK_TPU_CACHE=b_cache, STARK_TPU_PLANS_CACHE=b_plans)
+    env = dict(os.environ, STARK_TPU_CACHE=b_cache, STARK_TPU_PLANS_CACHE=b_plans,
+               STARK_TPU_AOT_CACHE=b_aot)
     subprocess.run(
         [sys.executable, "-m", "stark_tpu.cli", "cache-unpack", archive],
         check=True, env=env, cwd=REPO,
@@ -127,7 +132,7 @@ def main():
     # keep the auto-warmup ON: with a restored cache its threads LOAD the
     # cached executables in parallel (RPC releases the GIL), which a
     # 1-vCPU host needs -- warmup-off measured 45 s slower here
-    b = _run_child(b_cache, b_plans, log="/tmp/packed_cold_b.log")
+    b = _run_child(b_cache, b_plans, b_aot, log="/tmp/packed_cold_b.log")
 
     print(
         "MEASURE "

@@ -154,8 +154,11 @@ def _matmul_fold_kernel(dmax_bits, w0_ref, w1_ref, x0_ref, x1_ref,
     s01 = dot(w0, x1)
     s10 = dot(w1, x0)
     s11 = dot(w1, x1)
-    d = d_ref[0, 0].astype(jnp.int32)  # per-prime scalar
-    q = q_ref[0, 0].astype(jnp.uint32)
+    # per-prime scalars: the (p1, 1) tables ride whole in SMEM (Mosaic
+    # rejects sub-(8,128) blocks) and are indexed by the prime grid axis
+    p = pl.program_id(0)
+    d = d_ref[p, 0].astype(jnp.int32)
+    q = q_ref[p, 0].astype(jnp.uint32)
     s11 = s11.astype(jnp.int32)  # |.| <= K*64*127 < 2^23
     s11 = (s11 >> crt_mod.QBITS) * d + (s11 & (crt_mod.QBASE - 1))
     sm = (s01 + s10).astype(jnp.int32)  # |.| <= 2^24
@@ -163,7 +166,7 @@ def _matmul_fold_kernel(dmax_bits, w0_ref, w1_ref, x0_ref, x1_ref,
     raw = s00.astype(jnp.int32) + (sm << 7) + d * s11  # |.| < 2^30
     # fold_signed(raw, 30)
     shift = 30 - crt_mod.QBITS + 1
-    du = d_ref[0, 0].astype(jnp.uint32)
+    du = d_ref[p, 0].astype(jnp.uint32)
     s = _fold_u32(
         raw.astype(jnp.uint32) + (q << shift), 32, du, q, dmax_bits
     )
@@ -196,10 +199,10 @@ def matmul_fold(basis, plan, x0, x1, to: int = TO, tb: int = TB):
                 (1, K, tb), lambda p, o, b: (p, 0, b), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1), lambda p, o, b: (p, 0), memory_space=pltpu.SMEM
+                (p1, 1), lambda p, o, b: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1), lambda p, o, b: (p, 0), memory_space=pltpu.SMEM
+                (p1, 1), lambda p, o, b: (0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_specs=pl.BlockSpec(
