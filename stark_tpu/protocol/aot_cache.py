@@ -111,6 +111,11 @@ def try_load(name: str, args):
     """Deserialize the stage executable for this call signature, or None."""
     if not _enabled():
         return None
+    # debugging aid: STARK_TPU_AOT_SKIP="a,b" disables loading for the
+    # named stages (jit path used instead); saving is unaffected
+    skip = os.environ.get("STARK_TPU_AOT_SKIP", "")
+    if skip and name in skip.split(","):
+        return None
     p = _path(_key(name, args))
     try:
         with open(p, "rb") as f:
